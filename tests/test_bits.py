@@ -1,0 +1,130 @@
+"""Bit-layer golden + law tests (reference: tests/pg_regress/sql/hierarchy.sql,
+duckdb_examples.sql; expected/*.out)."""
+
+import numpy as np
+import pytest
+
+from a5pg_spark.core import areas, bits
+
+NYC10 = 2742822465196523520
+NYC15 = 2742821848331845632
+NYC15_PARENT10 = 2742821365684895744
+CHILDREN11 = [
+    2742820953368035328,
+    2742821228245942272,
+    2742821503123849216,
+    2742821778001756160,
+]
+WORLD0 = 0x0E00000000000000
+
+
+class TestGoldens:
+    def test_resolution(self):
+        # expected/duckdb_examples.out:6 and basic.out
+        assert bits.res_of(NYC10) == 10
+        assert bits.res_of(NYC15) == 15
+        assert bits.res_of(207618739568) == 27
+
+    def test_parent(self):
+        # expected/duckdb_examples.out:3,7
+        assert bits.parent_of(NYC15, 10) == NYC15_PARENT10
+        assert bits.parent_of(207618739568, 10) == 549755813888
+
+    def test_children(self):
+        # expected/duckdb_examples.out:4
+        kids = bits.cell_to_children(NYC15_PARENT10, 11)
+        assert list(kids) == CHILDREN11
+
+    def test_children_count_law(self):
+        # 4^Δ law, src/lib.rs:385-393 / hierarchy.sql:17-28
+        assert len(bits.cell_to_children(NYC10, 12)) == 16
+
+    def test_world_cell_encoding(self):
+        # expected/hex_functions.out:40 — face 3 at res 0
+        assert bits.encode_components(3, 0, 0) == WORLD0
+
+    def test_origin_field(self):
+        assert bits.origin_of(NYC10) == 9
+        assert bits.origin_of(7161033366718906368) == 24  # London
+        tokyo = np.array([0x872F8A8000000000], dtype=np.uint64).view(np.int64)[0]
+        assert bits.origin_of(int(tokyo)) == 33
+        assert not bits.is_valid_i64(np.array([tokyo]))[0]
+
+
+class TestLaws:
+    @pytest.mark.parametrize("res", [1, 2, 5, 8, 10, 15, 27, 29])
+    def test_roundtrip_components(self, res):
+        rng = np.random.default_rng(res)
+        for _ in range(20):
+            # at res 1, origins 0-11 alias res-0 face cells (DESIGN.md §3)
+            origin = int(rng.integers(12 if res == 1 else 0, 60))
+            s = int(rng.integers(0, 1 << (2 * (res - 1)))) if res > 1 else 0
+            c = bits.encode_components(origin, s, res)
+            assert bits.decode_components(c) == (origin, s, res)
+            assert bits.res_of(c) == res
+
+    @pytest.mark.parametrize("res,target", [(10, 8), (15, 10), (12, 5), (29, 1)])
+    def test_parent_resolution(self, res, target):
+        # origin ≥ 12 so the res-1 target stays unambiguous (DESIGN.md §3)
+        c = bits.encode_components(17, (1 << (2 * (res - 1))) - 1, res)
+        p = bits.parent_of(c, target)
+        assert bits.res_of(p) == target
+        assert bits.cell_contains(np.array([p]), np.array([c]))[0]
+
+    def test_parent_of_child_is_cell(self):
+        for child in bits.cell_to_children(NYC10, 12):
+            assert bits.parent_of(int(child), 10) == NYC10
+
+    def test_children_disjoint_cover(self):
+        kids = bits.cell_to_children(NYC10, 13)
+        assert len(set(kids.tolist())) == 64
+        assert all(bits.res_of(int(k)) == 13 for k in kids)
+
+    def test_compact_uncompact_identity(self):
+        u = bits.uncompact([NYC15_PARENT10], 12)
+        assert len(u) == 16
+        c = bits.compact(u)
+        assert list(c) == [NYC15_PARENT10]
+
+    def test_compact_partial_group(self):
+        u = list(bits.uncompact([NYC10], 12))
+        u.pop(7)  # incomplete sibling group survives
+        c = bits.compact(np.array(u, dtype=np.int64))
+        assert NYC10 not in set(c.tolist())
+        assert len(c) > 1
+
+    def test_res0_to_1_is_five_children(self):
+        w = bits.encode_components(3, 0, 0)
+        kids = bits.cell_to_children(w, 1)
+        assert len(kids) == 5
+        assert [bits.origin_of(int(k)) for k in kids] == [15, 16, 17, 18, 19]
+
+    def test_parent_to_res0_maps_quintant_to_face(self):
+        c = bits.encode_components(19, 123, 7)  # face 3, quintant 4
+        assert bits.parent_of(c, 0) == bits.encode_components(3, 0, 0)
+
+    def test_contains_reflexive_antisymmetric(self):
+        a = np.array([NYC10]); d = np.array([NYC15])
+        # NYC15 is NOT under NYC10 (different res-10 parent) but is under NYC15_PARENT10
+        assert bits.cell_contains(np.array([NYC15_PARENT10]), d)[0]
+        assert not bits.cell_contains(d, np.array([NYC15_PARENT10]))[0]
+        assert bits.cell_contains(a, a)[0]
+
+
+class TestAreas:
+    def test_num_cells(self):
+        assert areas.num_cells(0) == 12
+        assert areas.num_cells(1) == 60
+        assert areas.num_cells(2) == 240
+        assert areas.num_cells(29) == 60 * 4 ** 28
+
+    def test_area_times_count_is_earth(self):
+        for r in [0, 1, 5, 29]:
+            assert areas.cell_area(r) * areas.num_cells(r) == pytest.approx(
+                areas.EARTH_AREA_M2, rel=1e-12
+            )
+
+    def test_res0_cells(self):
+        cs = areas.res0_cells()
+        assert len(cs) == 12
+        assert WORLD0 in set(int(c) for c in cs)
