@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship A5 tiling query on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+(SURVEY.md §2); the driver runs Spark vs DuckDB side-by-side at sf0.01.
+
+Conventions shared by both sides (so value-hashes match):
+* synthetic valid A5 cells from integer keys (the parquet corpus has no
+  coordinates):  origin = key mod 32, Hilbert S = key·48271 mod 4^(res−1),
+  marker per the verified bit layout (a5pg_spark/core/bits.py).
+* deterministic capture points from keys (FIXTURES.md §1 rule):
+  lon = (key·2654435761 mod 360000000)/1e6 − 180,
+  lat = ((key·2654435761 // 360000000) mod 180000000)/1e6 − 90.
+* float aggregates are rounded to 4 decimals on both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +20,323 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_REGISTERED: set = set()
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    """Register A5 functions + parquet views once per (session, sf_dir)."""
+    from a5pg_spark import functions as A
+
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
+    A.register(spark)
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _REGISTERED.add(key)
+
+
+# deterministic capture-point derivation (identical text in both dialects)
+_PT = (
+    "(({k} * 2654435761) % 360000000) / 1e6 - 180.0 AS lon, "
+    "((({k} * 2654435761) // 360000000) % 180000000) / 1e6 - 90.0 AS lat"
+)
+_PT_SPARK = _PT.replace("//", "DIV")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive capture points for every order, assign res-7 A5 cells
+    (Arrow pandas UDF), roll up to res-3 parents (native bit expr), return the
+    hot-cell histogram with cell areas — scan → vectorized encode → shuffle
+    agg, the skeleton of the 100 TB tiling pipeline."""
+    from a5pg_spark.core import areas
+
+    sf_dir = "/root/testdata/sf0.001"
+    _prep(spark, sf_dir)
+    area_km2 = round(areas.cell_area(3) / 1e6, 4)  # constant-fold driver-side
+    return spark.sql(f"""
+        WITH pts AS (
+          SELECT o_orderkey, {_PT_SPARK.format(k="o_orderkey")}
+          FROM orders
+        ),
+        cells AS (
+          SELECT a5_lonlat_to_cell(lon, lat, 7) AS cell FROM pts
+        )
+        SELECT a5_cell_to_parent(cell, 3) AS parent_cell,
+               COUNT(*) AS n_points,
+               {area_km2!r} AS cell_area_km2
+        FROM cells
+        GROUP BY 1
+        ORDER BY n_points DESC, parent_cell
+        LIMIT 50
+    """)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q(sql_spark: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        return spark.sql(sql_spark)
+
+    return run
+
+
+# -- A5 hierarchy family (exact ANSI oracles: pure bit arithmetic) ----------
+
+# synthetic cell expressions, per dialect
+def _synth_spark(key: str, res: int) -> str:
+    return f"a5_synth_cell({key}, {res})"
+
+
+def _synth_duck(key: str, res: int) -> str:
+    return (
+        # NB: DuckDB/Postgres bitwise ops are same-precedence left-assoc —
+        # every operand must be fully parenthesized
+        f"(((((({key})::BIGINT) % 32) << 58)) "
+        f"| ((((({key})::BIGINT) * 48271) % (1::BIGINT << {2 * (res - 1)})) << {60 - 2 * res}) "
+        f"| (1::BIGINT << {59 - 2 * res}))"
+    )
+
+
+def _parent_duck(c: str, res: int) -> str:
+    # DuckDB refuses shifting negative numbers: build the high mask as ~(2^k−1)
+    return f"((({c}) & (~((1::BIGINT << {60 - 2 * res}) - 1))) | (1::BIGINT << {59 - 2 * res}))"
+
+
+def _res_duck(c: str) -> str:
+    return f"((59 - bit_count((({c}) & -({c})) - 1)) // 2)"
+
+
+QUERIES_SQL: dict = {}
+ORACLES_SQL: dict = {}
+
+# 1. resolution histogram over synthetic cells at mixed resolutions
+QUERIES_SQL["a5_resolution_histogram"] = """
+    SELECT a5_get_resolution(a5_synth_cell(l_orderkey * 8 + l_linenumber,
+                             CAST(2 + pmod(l_partkey, 6) AS INT))) AS res,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1 ORDER BY res
+"""
+ORACLES_SQL["a5_resolution_histogram"] = f"""
+    WITH c AS (
+      SELECT CASE p WHEN 2 THEN {_synth_duck('k', 2)} WHEN 3 THEN {_synth_duck('k', 3)}
+                    WHEN 4 THEN {_synth_duck('k', 4)} WHEN 5 THEN {_synth_duck('k', 5)}
+                    WHEN 6 THEN {_synth_duck('k', 6)} ELSE {_synth_duck('k', 7)} END AS cell
+      FROM (SELECT l_orderkey * 8 + l_linenumber AS k, 2 + (l_partkey % 6) AS p FROM lineitem)
+    )
+    SELECT {_res_duck('cell')} AS res, COUNT(*) AS n FROM c GROUP BY 1 ORDER BY res
+"""
+
+# 2. parent rollup: res-8 cells → res-4 parents, weighted by quantity
+QUERIES_SQL["a5_parent_rollup"] = """
+    SELECT a5_cell_to_parent(a5_synth_cell(l_orderkey * 8 + l_linenumber, 8), 4) AS parent_cell,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY parent_cell
+"""
+ORACLES_SQL["a5_parent_rollup"] = f"""
+    SELECT {_parent_duck(_synth_duck('l_orderkey * 8 + l_linenumber', 8), 4)} AS parent_cell,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY parent_cell
+"""
+
+# 3. children expansion (4^Δ law as data): res-3 cells of orders → res-5
+QUERIES_SQL["a5_children_expand"] = """
+    SELECT child AS cell, COUNT(*) AS n
+    FROM (SELECT explode(kids) AS child FROM
+          (SELECT a5_cell_to_children(a5_synth_cell(o_orderkey, 3), 5) AS kids FROM orders))
+    GROUP BY 1 ORDER BY cell
+"""
+ORACLES_SQL["a5_children_expand"] = f"""
+    WITH base AS (SELECT {_synth_duck('o_orderkey', 3)} AS c FROM orders),
+    kids AS (
+      SELECT ((c - (1::BIGINT << 53)) | (s << 50)) | (1::BIGINT << 49) AS child
+      FROM base, (SELECT unnest(range(0, 16)) AS s)
+    )
+    SELECT child AS cell, COUNT(*) AS n FROM kids GROUP BY 1 ORDER BY cell
+"""
+
+# 4. prefix containment semi-join: nation ancestors (res 4) × lineitem
+#    descendants (res 9) — the equi-join-on-cell-prefix pattern of the
+#    spatial join (SURVEY.md §2.4.1)
+QUERIES_SQL["a5_contains_semijoin"] = """
+    WITH anc AS (SELECT DISTINCT a5_synth_cell(n_nationkey, 4) AS a FROM nation),
+    des AS (SELECT a5_synth_cell(l_orderkey * 8 + l_linenumber, 9) AS d FROM lineitem)
+    SELECT a AS ancestor_cell, COUNT(*) AS n_desc
+    FROM des JOIN anc ON a5_cell_to_parent(d, 4) = a
+    GROUP BY 1 ORDER BY ancestor_cell
+"""
+ORACLES_SQL["a5_contains_semijoin"] = f"""
+    WITH anc AS (SELECT DISTINCT {_synth_duck('n_nationkey', 4)} AS a FROM nation),
+    des AS (SELECT {_synth_duck('l_orderkey * 8 + l_linenumber', 9)} AS d FROM lineitem)
+    SELECT a AS ancestor_cell, COUNT(*) AS n_desc
+    FROM des JOIN anc ON {_parent_duck('d', 4)} = a
+    GROUP BY 1 ORDER BY ancestor_cell
+"""
+
+# 5. uncompact cover: region cells res 2 → res 4 descendants
+QUERIES_SQL["a5_uncompact_cover"] = """
+    SELECT child AS cell, a5_get_resolution(child) AS res
+    FROM (SELECT explode(kids) AS child FROM
+          (SELECT a5_cell_to_children(a5_synth_cell(r_regionkey + 1, 2), 4) AS kids FROM region))
+    ORDER BY cell
+"""
+ORACLES_SQL["a5_uncompact_cover"] = f"""
+    WITH base AS (SELECT {_synth_duck('r_regionkey + 1', 2)} AS c FROM region),
+    kids AS (
+      SELECT ((c - (1::BIGINT << 55)) | (s << 52)) | (1::BIGINT << 51) AS child
+      FROM base, (SELECT unnest(range(0, 16)) AS s)
+    )
+    SELECT child AS cell, {_res_duck('child')} AS res FROM kids ORDER BY cell
+"""
+
+# 7. counts & areas table (res 0..12) — constant-foldable dimension
+QUERIES_SQL["a5_num_cells_area"] = """
+    SELECT CAST(id AS INT) AS res, a5_get_num_cells(CAST(id AS INT)) AS n_cells,
+           ROUND(a5_cell_area(CAST(id AS INT)), 2) AS area_m2
+    FROM range(0, 13) ORDER BY res
+"""
+ORACLES_SQL["a5_num_cells_area"] = f"""
+    SELECT CAST(r AS INT) AS res,
+           CASE WHEN r = 0 THEN 12 ELSE 60::BIGINT << (2 * (r - 1)) END AS n_cells,
+           ROUND(510065621724088.7 / CASE WHEN r = 0 THEN 12 ELSE 60::BIGINT << (2 * (r - 1)) END, 2) AS area_m2
+    FROM (SELECT unnest(range(0, 13)) AS r) ORDER BY res
+"""
+
+# 8. the 12 res-0 base cells (world cell golden among them)
+QUERIES_SQL["a5_res0_cells"] = """
+    SELECT shiftleft(CAST(id AS BIGINT), 58) | shiftleft(CAST(1 AS BIGINT), 57) AS cell
+    FROM range(0, 12) ORDER BY cell
+"""
+ORACLES_SQL["a5_res0_cells"] = """
+    SELECT ((f << 58) | (1::BIGINT << 57)) AS cell
+    FROM (SELECT unnest(range(0, 12)) AS f) ORDER BY cell
+"""
+
+# -- projection family (not ANSI-expressible → rows-only driver check) ------
+
+QUERIES_SQL["a5_encode_points_rollup"] = f"""
+    WITH pts AS (SELECT o_orderkey, {_PT_SPARK.format(k="o_orderkey")} FROM orders),
+    c AS (SELECT a5_lonlat_to_cell(lon, lat, 7) AS cell FROM pts)
+    SELECT a5_cell_to_parent(cell, 3) AS parent_cell, COUNT(*) AS n
+    FROM c GROUP BY 1 ORDER BY parent_cell
+"""
+# no oracle: dodecahedral projection is not ANSI-SQL-expressible
+
+QUERIES_SQL["a5_roundtrip_quality"] = f"""
+    WITH pts AS (SELECT o_orderkey, {_PT_SPARK.format(k="o_orderkey")} FROM orders),
+    rt AS (
+      SELECT lon, lat,
+             a5_cell_to_lon(a5_lonlat_to_cell(lon, lat, 10)) AS clon,
+             a5_cell_to_lat(a5_lonlat_to_cell(lon, lat, 10)) AS clat
+      FROM pts
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(clat - lat) < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS lat_close,
+           CAST(SUM(CASE WHEN ABS(clon - lon) < 0.2 OR ABS(lat) > 85 THEN 1 ELSE 0 END) AS BIGINT) AS lon_close
+    FROM rt
+"""
+# no oracle (projection); pytest pins the law per-point
+
+# -- relational repertoire (SURVEY.md §2.2) — exact oracles -----------------
+
+QUERIES_SQL["rel_agg_pricing"] = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+ORACLES_SQL["rel_agg_pricing"] = QUERIES_SQL["rel_agg_pricing"]
+
+QUERIES_SQL["rel_join_segment_revenue"] = """
+    SELECT c_mktsegment,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+ORACLES_SQL["rel_join_segment_revenue"] = QUERIES_SQL["rel_join_segment_revenue"]
+
+QUERIES_SQL["rel_window_user_topk"] = """
+    SELECT event_type, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+    FROM (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+      FROM events
+    )
+    WHERE rk <= 3
+    GROUP BY event_type ORDER BY event_type
+"""
+ORACLES_SQL["rel_window_user_topk"] = QUERIES_SQL["rel_window_user_topk"]
+
+# -- training-data ops over documents/embeddings ----------------------------
+
+QUERIES_SQL["dedup_exact_docs"] = """
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_removable
+    FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)
+"""
+ORACLES_SQL["dedup_exact_docs"] = QUERIES_SQL["dedup_exact_docs"]
+
+QUERIES_SQL["text_lang_stats"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(size(split(trim(text), '\\\\s+'))), 4) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+ORACLES_SQL["text_lang_stats"] = """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+QUERIES_SQL["embed_knn_bruteforce"] = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT qid, vec_id,
+             ROUND(aggregate(zip_with(qe, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                             CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+                   / (SQRT(aggregate(transform(qe, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                      * SQRT(aggregate(transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 4) AS cos_sim
+      FROM q CROSS JOIN embeddings
+      WHERE vec_id != qid
+    )
+    SELECT qid, vec_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+    WHERE rk <= 5 ORDER BY qid, rk
+"""
+ORACLES_SQL["embed_knn_bruteforce"] = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT qid, vec_id,
+             ROUND(list_dot_product(CAST(qe AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(qe AS DOUBLE[]), CAST(qe AS DOUBLE[]))) * sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS cos_sim
+      FROM q CROSS JOIN embeddings
+      WHERE vec_id != qid
+    )
+    SELECT qid, vec_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+    WHERE rk <= 5 ORDER BY qid, rk
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _q(sql) for name, sql in QUERIES_SQL.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES_SQL)

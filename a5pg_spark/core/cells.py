@@ -123,6 +123,44 @@ def auto_segments(res: int) -> int:
     return int(max(1, min(64, 2 ** max(0, 6 - res))))
 
 
+def cell_to_boundary_batch(cells, closed_ring: bool = True, segments=None) -> list:
+    """Vectorized boundary for a batch of cells → list of (K,2) [lon,lat]
+    arrays (ragged across resolutions).  Groups by resolution and runs the
+    triangle + inverse-projection kernels over the whole group at once — this
+    is the pandas-UDF fast path (no per-row Python in the hot loop)."""
+    cells = np.asarray(cells, dtype=np.int64)
+    n = cells.shape[0]
+    out: list = [None] * n
+    origin, face, q, s, res = _decode(cells)
+    for r in np.unique(res):
+        idx = np.nonzero(res == r)[0]
+        if r < 1:
+            for i in idx:
+                out[i] = cell_to_boundary(int(cells[i]), closed_ring, segments)
+            continue
+        segs = int(segments) if segments and int(segments) > 0 else auto_segments(int(r))
+        P, Q, R = s_to_triangle(s[idx], int(r), TRI_ENTRY, TRI_APEX, TRI_EXIT)
+        corners = np.stack([P, Q, R], axis=1)  # (m, 3, 2)
+        nxt = np.roll(corners, -1, axis=1)
+        t = (np.arange(segs, dtype=np.float64) / segs)[None, None, :, None]
+        ring = corners[:, :, None, :] * (1 - t) + nxt[:, :, None, :] * t  # (m,3,segs,2)
+        m = len(idx)
+        k = 3 * segs
+        ring = ring.reshape(m, k, 2)
+        lon, lat = inverse(
+            np.repeat(face[idx], k),
+            np.repeat(q[idx], k),
+            ring[:, :, 0].ravel(),
+            ring[:, :, 1].ravel(),
+        )
+        bnd = np.stack([lon, lat], axis=-1).reshape(m, k, 2)
+        if closed_ring:
+            bnd = np.concatenate([bnd, bnd[:, :1, :]], axis=1)
+        for j, i in enumerate(idx):
+            out[i] = bnd[j]
+    return out
+
+
 def cell_to_boundary(cell: int, closed_ring: bool = True, segments=None) -> np.ndarray:
     """Cell id → boundary ring [[lon, lat], …] (degrees).
 

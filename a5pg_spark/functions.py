@@ -1,0 +1,286 @@
+"""Spark function registry — the reference's 16-function SQL surface
+(``/root/reference/src/lib.rs`` §2.1 of SURVEY.md) re-expressed Spark-first.
+
+Two tiers:
+
+* **Hierarchy / bit ops** (`a5_get_resolution`, `a5_cell_to_parent`,
+  `a5_cell_to_children`, `a5_cell_contains`, `a5_uncompact`, areas/counts):
+  pure Spark-SQL scalar functions (Spark 4 SQL UDFs).  Catalyst inlines them
+  into the caller's plan → whole-stage codegen, constant folding, no Python.
+  The same ANSI bit arithmetic runs verbatim in DuckDB for the oracle checks.
+* **Projection ops** (`a5_lonlat_to_cell`, `a5_cell_to_lonlat`,
+  `a5_cell_to_boundary`): Arrow-batched pandas UDFs over the vectorized NumPy
+  kernels (core/cells.py) — one Python crossing per ~10k-row batch, never per
+  row.  STRICT null semantics (NULL in → NULL out) are applied inside the UDF
+  via masks, mirroring the reference DDL (sql/a5pg--0.6.1.sql STRICT flags).
+
+Call :func:`register` once per session; afterwards every function is usable
+from both the DataFrame API (`F.call_function` wrappers below) and
+``spark.sql`` — so reference SQL ports verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+)
+
+from .core import areas, bits, cells
+
+# ---------------------------------------------------------------------------
+# tier 1: pure-SQL hierarchy functions (Catalyst-native, DuckDB-portable)
+# ---------------------------------------------------------------------------
+
+# trailing zeros of the isolated lowest bit — integer-exact in both engines
+_TZ = "bit_count((id & -id) - 1)"
+
+SQL_BODIES = {
+    # resolution: floor((59 - tz)/2); id 0 → 0; marker-57 ids with origin < 12
+    # decode as res-0 face cells (DESIGN.md §3)
+    "a5_get_resolution": (
+        "(id BIGINT) RETURNS INT RETURN CAST(CASE WHEN id = 0 THEN 0 "
+        f"WHEN {_TZ} = 57 AND shiftrightunsigned(id, 58) < 12 THEN 0 "
+        f"ELSE (59 - {_TZ}) DIV 2 END AS INT)"
+    ),
+    # parent: clear everything below the new marker; res-0 maps quintant→face
+    "a5_cell_to_parent": (
+        "(id BIGINT, target_res INT) RETURNS BIGINT RETURN "
+        "CASE WHEN target_res = 0 THEN "
+        "  shiftleft(CAST(shiftrightunsigned(id, 58) DIV 5 AS BIGINT), 58) | shiftleft(CAST(1 AS BIGINT), 57) "
+        "ELSE (id & shiftleft(CAST(-1 AS BIGINT), 60 - 2 * target_res)) | shiftleft(CAST(1 AS BIGINT), 59 - 2 * target_res) END"
+    ),
+    # children: append each 2-bit suffix, marker two below (verified vs
+    # expected/duckdb_examples.out:4); res-0 expands into 5 quintants first
+    "a5_cell_to_children": (
+        "(id BIGINT, target_res INT) RETURNS ARRAY<BIGINT> RETURN "
+        "CASE WHEN a5_get_resolution(id) = 0 THEN "
+        "  flatten(transform(sequence(CAST(0 AS BIGINT), CAST(4 AS BIGINT)), q -> "
+        "    CASE WHEN target_res = 1 THEN "
+        "      array(shiftleft(CAST(shiftrightunsigned(id, 58) AS BIGINT) * 5 + q, 58) | shiftleft(CAST(1 AS BIGINT), 57)) "
+        "    ELSE transform(sequence(CAST(0 AS BIGINT), shiftleft(CAST(1 AS BIGINT), 2 * (target_res - 1)) - 1), s -> "
+        "      shiftleft(CAST(shiftrightunsigned(id, 58) AS BIGINT) * 5 + q, 58) "
+        "      | shiftleft(s, 60 - 2 * target_res) | shiftleft(CAST(1 AS BIGINT), 59 - 2 * target_res)) END)) "
+        "WHEN target_res = a5_get_resolution(id) THEN array(id) "
+        "ELSE transform(sequence(CAST(0 AS BIGINT), shiftleft(CAST(1 AS BIGINT), 2 * (target_res - a5_get_resolution(id))) - 1), s -> "
+        "  (id ^ shiftleft(CAST(1 AS BIGINT), 59 - 2 * a5_get_resolution(id))) "
+        "  | shiftleft(s, 60 - 2 * target_res) | shiftleft(CAST(1 AS BIGINT), 59 - 2 * target_res)) END"
+    ),
+    # containment = prefix equality (survey §1.3)
+    "a5_cell_contains": (
+        "(anc BIGINT, des BIGINT) RETURNS BOOLEAN RETURN "
+        "a5_get_resolution(anc) <= a5_get_resolution(des) "
+        "AND a5_cell_to_parent(des, a5_get_resolution(anc)) = anc"
+    ),
+    # counts/areas: 12 at res 0, 60·4^(r−1) after (src/lib.rs:159-169)
+    "a5_get_num_cells": (
+        "(res INT) RETURNS BIGINT RETURN "
+        "CASE WHEN res = 0 THEN 12 ELSE shiftleft(CAST(60 AS BIGINT), 2 * (res - 1)) END"
+    ),
+    "a5_cell_area": (
+        "(res INT) RETURNS DOUBLE RETURN "
+        f"{areas.EARTH_AREA_M2!r} / a5_get_num_cells(res)"
+    ),
+    # deterministic valid-cell synthesizer (tests + DuckDB oracles): origin
+    # 0..31 keeps ids positive and portable; res must be ≥ 2
+    "a5_synth_cell": (
+        "(key BIGINT, res INT) RETURNS BIGINT RETURN "
+        "shiftleft(pmod(key, CAST(32 AS BIGINT)), 58) "
+        "| shiftleft(pmod(key * 48271, shiftleft(CAST(1 AS BIGINT), 2 * (res - 1))), 60 - 2 * res) "
+        "| shiftleft(CAST(1 AS BIGINT), 59 - 2 * res)"
+    ),
+}
+
+
+def duckdb_sql_bodies() -> dict:
+    """The same function bodies as DuckDB CREATE MACRO statements — the
+    driver's oracle runs these so Spark and DuckDB evaluate identical ANSI
+    bit arithmetic."""
+    out = {}
+    for name, body in SQL_BODIES.items():
+        sig, ret = body.split(" RETURNS ", 1)
+        _, expr = ret.split(" RETURN ", 1)
+        args = sig.strip("()")
+        argnames = ", ".join(a.strip().split(" ")[0] for a in args.split(","))
+        e = expr
+        # dialect deltas: Spark DIV → //, shiftleft/shiftrightunsigned → << / >>
+        out[name] = (name, argnames, e)
+    return out
+
+
+def register(spark: SparkSession) -> None:
+    """Register the full A5 function surface (SQL UDFs + pandas UDFs)."""
+    for name, body in SQL_BODIES.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    spark.udf.register("a5_lonlat_to_cell", _lonlat_to_cell_udf)
+    spark.udf.register("a5_cell_to_lonlat", _cell_to_lonlat_udf)
+    spark.udf.register("a5_cell_to_lon", _cell_to_lon_udf)
+    spark.udf.register("a5_cell_to_lat", _cell_to_lat_udf)
+    spark.udf.register("a5_cell_to_boundary", _cell_to_boundary_udf)
+    spark.udf.register("a5_is_valid_i64", _is_valid_i64_udf)
+
+
+# ---------------------------------------------------------------------------
+# tier 2: Arrow pandas UDFs (projection math)
+# ---------------------------------------------------------------------------
+
+
+def _strict_mask(*series) -> pd.Series:
+    m = series[0].isna()
+    for s in series[1:]:
+        m = m | s.isna()
+    return m
+
+
+@pandas_udf(LongType())
+def _lonlat_to_cell_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
+    na = _strict_mask(lon, lat, res)
+    lo = lon.to_numpy(dtype=np.float64, na_value=0.0)
+    la = lat.to_numpy(dtype=np.float64, na_value=0.0)
+    rs = res.to_numpy(dtype=np.float64, na_value=2.0).astype(np.int64)
+    ids = cells.lonlat_to_cell(lo, la, rs)
+    out = pd.Series(ids, dtype="Int64")
+    out[na.to_numpy()] = pd.NA
+    return out
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def _cell_to_lonlat_udf(cell: pd.Series) -> pd.Series:
+    na = cell.isna()
+    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    lon, lat = cells.cell_to_lonlat(ids)
+    pairs = np.stack([lon, lat], axis=-1)
+    out = pd.Series(list(pairs))
+    out[na.to_numpy()] = None
+    return out
+
+
+@pandas_udf(DoubleType())
+def _cell_to_lon_udf(cell: pd.Series) -> pd.Series:
+    na = cell.isna()
+    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    lon, _ = cells.cell_to_lonlat(ids)
+    out = pd.Series(lon)
+    out[na.to_numpy()] = np.nan
+    return out
+
+
+@pandas_udf(DoubleType())
+def _cell_to_lat_udf(cell: pd.Series) -> pd.Series:
+    na = cell.isna()
+    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    _, lat = cells.cell_to_lonlat(ids)
+    out = pd.Series(lat)
+    out[na.to_numpy()] = np.nan
+    return out
+
+
+@pandas_udf(ArrayType(ArrayType(DoubleType())))
+def _cell_to_boundary_udf(
+    cell: pd.Series, closed: pd.Series, segments: pd.Series
+) -> pd.Series:
+    na = cell.isna()
+    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    closed_v = bool(closed.iloc[0]) if len(closed) and not closed.isna().all() else True
+    seg_v = None
+    if len(segments) and not segments.isna().all():
+        seg_v = int(segments.dropna().iloc[0])
+    rings = cells.cell_to_boundary_batch(ids, closed_ring=closed_v, segments=seg_v)
+    out = pd.Series([r.tolist() for r in rings])
+    out[na.to_numpy()] = None
+    return out
+
+
+@pandas_udf(BooleanType())
+def _is_valid_i64_udf(cell: pd.Series) -> pd.Series:
+    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    return pd.Series(bits.is_valid_i64(ids))
+
+
+# ---------------------------------------------------------------------------
+# DataFrame Column API (thin wrappers; SQL names resolve after register())
+# ---------------------------------------------------------------------------
+
+
+def a5_lonlat_to_cell(lon, lat, res) -> Column:
+    return _lonlat_to_cell_udf(
+        F.col(lon) if isinstance(lon, str) else lon,
+        F.col(lat) if isinstance(lat, str) else lat,
+        F.lit(res) if isinstance(res, int) else res,
+    )
+
+
+def a5_cell_to_lonlat(cell) -> Column:
+    return _cell_to_lonlat_udf(F.col(cell) if isinstance(cell, str) else cell)
+
+
+def a5_cell_to_lon(cell) -> Column:
+    return _cell_to_lon_udf(F.col(cell) if isinstance(cell, str) else cell)
+
+
+def a5_cell_to_lat(cell) -> Column:
+    return _cell_to_lat_udf(F.col(cell) if isinstance(cell, str) else cell)
+
+
+def a5_cell_to_boundary(cell, closed_ring: bool = True, segments: int = -1) -> Column:
+    return _cell_to_boundary_udf(
+        F.col(cell) if isinstance(cell, str) else cell,
+        F.lit(closed_ring),
+        F.lit(segments),
+    )
+
+
+def a5_get_resolution(cell) -> Column:
+    return F.call_function("a5_get_resolution", F.col(cell) if isinstance(cell, str) else cell)
+
+
+def a5_cell_to_parent(cell, target_res) -> Column:
+    return F.call_function(
+        "a5_cell_to_parent",
+        F.col(cell) if isinstance(cell, str) else cell,
+        F.lit(target_res) if isinstance(target_res, int) else target_res,
+    )
+
+
+def a5_cell_to_children(cell, target_res) -> Column:
+    return F.call_function(
+        "a5_cell_to_children",
+        F.col(cell) if isinstance(cell, str) else cell,
+        F.lit(target_res) if isinstance(target_res, int) else target_res,
+    )
+
+
+def a5_cell_contains(anc, desc) -> Column:
+    return F.call_function(
+        "a5_cell_contains",
+        F.col(anc) if isinstance(anc, str) else anc,
+        F.col(desc) if isinstance(desc, str) else desc,
+    )
+
+
+def a5_cell_area(res) -> Column:
+    return F.call_function("a5_cell_area", F.lit(res) if isinstance(res, int) else res)
+
+
+def a5_get_num_cells(res) -> Column:
+    return F.call_function("a5_get_num_cells", F.lit(res) if isinstance(res, int) else res)
+
+
+def a5_get_res0_cells() -> Column:
+    return F.array(*[F.lit(int(c)) for c in areas.res0_cells()])
+
+
+def a5_synth_cell(key, res) -> Column:
+    return F.call_function(
+        "a5_synth_cell",
+        F.col(key) if isinstance(key, str) else key,
+        F.lit(res) if isinstance(res, int) else res,
+    )

@@ -1,0 +1,93 @@
+"""Benchmark harness — runs the headline A5 queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "throughput_pts_per_sec": ...}.
+
+The same harness powers the two-parallelism scaling protocol
+(BASELINE.md): tools/run_scaling.py invokes it at SPARK_GRAFT_CPUS=8 and =32
+and reports throughput scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline subset: UDF-heavy tiling, shuffle agg, prefix join, relational,
+# vector top-k — the shapes that dominate the 100 TB pipeline
+BENCH_QUERIES = [
+    "a5_encode_points_rollup",   # Arrow UDF encode + native parent + agg
+    "a5_parent_rollup",          # native bit rollup over lineitem
+    "a5_contains_semijoin",      # prefix equi-join (spatial-join skeleton)
+    "a5_children_expand",        # explode fan-out
+    "rel_agg_pricing",           # scan+filter+agg
+    "rel_join_segment_revenue",  # broadcast join + agg
+    "embed_knn_bruteforce",      # vector similarity top-k
+]
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from a5pg_spark.session import get_spark
+
+    t_start = time.time()
+    spark = get_spark(shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    # warm-up: JVM, Python worker pool, parquet footer cache
+    E._prep(spark, SF_DIR)
+    spark.sql("SELECT a5_lonlat_to_cell(0.0, 0.0, 5) AS c").collect()
+    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    startup = time.time() - t_start
+
+    timings: dict = {}
+    n_points = 0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        rows = qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+        del rows
+
+    # throughput metric: points/sec through the full encode+rollup pipeline
+    n_points = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n
+    t0 = time.time()
+    spark.sql(
+        """
+        SELECT a5_cell_to_parent(cell, 4) AS p, COUNT(*) AS n FROM (
+          SELECT a5_lonlat_to_cell(
+                   ((o_orderkey * 2654435761) % 360000000) / 1e6 - 180.0,
+                   (((o_orderkey * 2654435761) DIV 360000000) % 180000000) / 1e6 - 90.0,
+                   9) AS cell
+          FROM orders) GROUP BY p
+        """
+    ).collect()
+    encode_sec = time.time() - t0
+    throughput = n_points / encode_sec if encode_sec > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "a5_headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "startup_sec": round(startup, 3),
+        "encode_points": int(n_points),
+        "encode_sec": round(encode_sec, 3),
+        "throughput_pts_per_sec": round(throughput, 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
