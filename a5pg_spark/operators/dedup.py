@@ -1,0 +1,201 @@
+"""Deduplication operators for training-data pipelines.
+
+All hot paths are JVM-native (shingling, hashing, banding via built-in
+higher-order functions); Python appears only in the SimHash bit-fold, as an
+Arrow-batched UDF.  Every operator returns DataFrames of duplicate *pairs* or
+deduplicated tables, both shuffle-friendly shapes (no driver collection).
+
+Scale design: MinHash-LSH candidate generation is a single groupBy on
+(band_id, band_hash) — the classic shingle→minhash→band→bucket-join; exact
+Jaccard verification only runs inside buckets (tiny fraction of pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash — keep the smallest id per group."""
+    h = F.xxhash64(F.col(text_col))
+    w = df.withColumn("__h", h)
+    keep = w.groupBy("__h").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, [id_col, "__h"], "left_semi").drop("__h")
+
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    """Character k-shingles as a distinct array — native higher-order fns."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(1, length({text_col}) - {k} + 1)), "
+            f"i -> substring({text_col}, i, {k}))"
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
+                      shingle_k: int = 5, seed: int = 7) -> DataFrame:
+    """Add ``minhash`` array<long> of length ``num_hashes`` (all JVM-side):
+    h_i(x) = (a_i·x31 + b_i) mod 2^61−1 with x31 = pmod(xxhash64(x), 2^31) and
+    a_i < 2^31 — products stay < 2^62, safe under Spark's ANSI overflow
+    checks, min over shingles."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    df = df.withColumn("__sh", _shingles(text_col, shingle_k)).withColumn(
+        "__shh", F.expr("transform(__sh, s -> pmod(xxhash64(s), 2147483648))")
+    )
+    params = F.array(*[F.struct(F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b"))
+                       for ai, bi in zip(a, b)])
+    sig = F.expr(
+        "transform(__params, p -> "
+        " array_min(transform(__shh, x -> pmod(p.a * x + p.b, 2305843009213693951))))"
+    )
+    return (
+        df.withColumn("__params", params)
+        .withColumn("minhash", sig)
+        .drop("__sh", "__shh", "__params")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, num_hashes, shingle_k).select(
+        id_col, text_col, "minhash"
+    )
+    banded = sig.select(
+        id_col,
+        text_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band_id, xxhash64(to_json(struct(slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))) AS band_hash))"
+            )
+        ).alias("band"),
+    ).select(id_col, text_col, "band.band_id", "band.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{text_col}").alias("text_a"),
+            F.col(f"r.{text_col}").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact Jaccard on shingle sets — native array ops
+    sh_a = _shingles("text_a", shingle_k)
+    sh_b = _shingles("text_b", shingle_k)
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@pandas_udf(LongType())
+def _simhash_fold(token_hashes: pd.Series) -> pd.Series:
+    """Fold token-hash arrays into a 64-bit SimHash (Arrow batch, NumPy ops)."""
+    out = np.zeros(len(token_hashes), dtype=np.uint64)
+    for i, arr in enumerate(token_hashes):
+        if arr is None or len(arr) == 0:
+            continue
+        h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        votes = 2 * bits.astype(np.int64) - 1
+        fold = (votes.sum(axis=0) > 0).astype(np.uint64)
+        out[i] = (fold << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    return pd.Series(out.view(np.int64))
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a 64-bit ``simhash`` column (token hashing JVM-side, fold in Arrow)."""
+    toks = F.expr(f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t))")
+    return df.withColumn("simhash", _simhash_fold(toks))
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via 4×16-bit
+    band blocking (exact for ≤ 3 differing bits — pigeonhole)."""
+    s = simhash(df, text_col).select(id_col, "simhash")
+    banded = s.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band_id, "
+                "shiftright(simhash, CAST(b * 16 AS INT)) & CAST(65535 AS BIGINT) AS band_val))"
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             cosine_threshold: float = 0.95,
+                             planes: int = 16, seed: int = 11) -> DataFrame:
+    """Embedding near-dups: sign-random-projection bucket join, exact cosine
+    verify inside buckets (see similarity.srp_bucket for the bucketing)."""
+    from .similarity import srp_bucket, cosine_sim_col
+
+    b = srp_bucket(df, vec_col, planes=planes, seed=seed)
+    l, r = b.alias("l"), b.alias("r")
+    cand = l.join(
+        r,
+        (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        F.col(f"l.{vec_col}").alias("va"),
+        F.col(f"r.{vec_col}").alias("vb"),
+    )
+    return (
+        cand.withColumn("cosine", cosine_sim_col("va", "vb"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

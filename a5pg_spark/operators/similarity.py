@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: JVM-native dot products via
+  ``aggregate``/``zip_with`` (no Python), window top-k.
+* SRP-LSH bucketed ANN — the scale path: deterministic sign-random-projection
+  buckets computed in one Arrow-batched NumPy matmul per batch, then plain
+  equi-joins; recall grows with ``tables``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def dot_col(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_col(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+
+
+def cosine_sim_col(a: str, b: str) -> F.Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                qid: str = "qid", cid: str = "vec_id",
+                qvec: str = "qe", cvec: str = "embedding") -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast the (small) query side, scan
+    the corpus once, window top-k.  100 TB shape: queries ≪ corpus."""
+    cand = F.broadcast(queries).crossJoin(corpus).filter(
+        F.col(qid) != F.col(cid)
+    ).withColumn("cos_sim", cosine_sim_col(qvec, cvec))
+    w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid, cid, F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+def _srp_planes(dim: int, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, planes))
+
+
+def srp_bucket(df: DataFrame, vec_col: str = "embedding", planes: int = 16,
+               seed: int = 11, out_col: str = "__bucket") -> DataFrame:
+    """Add a sign-random-projection bucket id (one NumPy matmul per Arrow
+    batch — vectorized across rows)."""
+    spark = df.sparkSession
+    # probe dimension from one row (planes must be deterministic per session)
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first.d)
+    P = _srp_planes(dim, planes, seed)
+    bc = spark.sparkContext.broadcast(P)
+
+    @pandas_udf(LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        proj = M.astype(np.float64) @ bc.value
+        bits = (proj > 0).astype(np.uint64)
+        ids = (bits << np.arange(bits.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
+        return pd.Series(ids.view(np.int64))
+
+    return df.withColumn(out_col, bucket(F.col(vec_col)))
+
+
+def srp_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                 qid: str = "qid", cid: str = "vec_id",
+                 qvec: str = "qe", cvec: str = "embedding",
+                 planes: int = 12, tables: int = 4, seed: int = 11) -> DataFrame:
+    """Approximate top-k: union of ``tables`` independent SRP bucket joins,
+    exact cosine rank within candidates.  Each table is a plain equi-join on
+    the bucket id — broadcastable/AQE-skew-splittable at scale."""
+    results = None
+    for t in range(tables):
+        qb = srp_bucket(queries, qvec, planes, seed + t, "__b")
+        cb = srp_bucket(corpus, cvec, planes, seed + t, "__b")
+        cand = qb.join(cb, "__b").filter(F.col(qid) != F.col(cid)).select(
+            qid, cid, qvec, cvec
+        )
+        results = cand if results is None else results.unionByName(cand)
+    cand = results.dropDuplicates([qid, cid]).withColumn(
+        "cos_sim", cosine_sim_col(qvec, cvec)
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid, cid, F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )

@@ -1,0 +1,71 @@
+"""Skew control and layout for cell-keyed tables (SURVEY.md §2.4.5).
+
+Hot cells (dense cities at coarse resolutions) skew any shuffle keyed by
+cell.  Two engine-owned levers:
+
+* **salted repartition on cell prefix**: partition key =
+  (cell_to_parent(cell, coarse_res), pmod(salt_src, S)) — prefix keeps
+  spatial locality (Hilbert ids are range-coherent), salt splits hot
+  prefixes S ways.  Pure bit math, whole-stage codegen.
+* **AQE skew-join** is enabled session-wide (session.py); salting is for
+  aggregations and writes, where AQE's join splitter doesn't apply.
+
+Layout: `sort_within_partitions(cell)` before writing parquet gives min/max
+file statistics the role of the reference's B-tree index
+(tests/elephant_a5_cells.sql:112-113) — range pruning on Hilbert-ordered ids
+is spatially coherent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_repartition_by_prefix(
+    df: DataFrame,
+    cell_col: str = "cell",
+    coarse_res: int = 4,
+    salt_buckets: int = 8,
+    salt_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Repartition on (cell prefix, salt).  ``salt_col`` defaults to the cell
+    itself (its low Hilbert bits are uniform within a hot prefix)."""
+    prefix = F.call_function(
+        "a5_cell_to_parent", F.col(cell_col), F.lit(coarse_res)
+    ).alias("__prefix")
+    salt_src = F.col(salt_col) if salt_col else F.col(cell_col)
+    salt = F.pmod(F.xxhash64(salt_src), F.lit(salt_buckets)).alias("__salt")
+    out = df.withColumn("__prefix", prefix).withColumn("__salt", salt)
+    if num_partitions:
+        out = out.repartition(num_partitions, "__prefix", "__salt")
+    else:
+        out = out.repartition("__prefix", "__salt")
+    return out.drop("__prefix", "__salt")
+
+
+def write_cell_sorted(df: DataFrame, path: str, cell_col: str = "cell",
+                      coarse_res: int = 3, mode: str = "overwrite") -> None:
+    """Write parquet partitioned by coarse cell prefix, sorted by cell within
+    files — file skipping via min/max plays the B-tree-index role."""
+    (
+        df.withColumn(
+            "cell_prefix",
+            F.call_function("a5_cell_to_parent", F.col(cell_col), F.lit(coarse_res)),
+        )
+        .sortWithinPartitions(cell_col)
+        .write.mode(mode)
+        .partitionBy("cell_prefix")
+        .parquet(path)
+    )
+
+
+def skew_ratio(df: DataFrame, key_col: str) -> float:
+    """max/median rows per key — the lineage-metrics skew indicator."""
+    counts = df.groupBy(key_col).count()
+    stats = counts.agg(
+        F.max("count").alias("mx"),
+        F.expr("percentile_approx(count, 0.5)").alias("md"),
+    ).first()
+    return float(stats.mx) / max(float(stats.md), 1.0)

@@ -1,0 +1,259 @@
+"""Deterministic synthetic image+caption table (FIXTURES.md §1 schema) and
+pure-Python codecs.
+
+Schema (exact ``input_hint`` shape from BASELINE.json):
+    images(image_id string, bytes binary, w int, h int, fmt string,
+           caption string, phash long)
+
+* **png**: a real, spec-conformant grayscale 8-bit PNG (zlib is stdlib) —
+  lossless, decoded pixels must match exactly.
+* **jpeg**: STUB — this container has no image libraries, so "jpeg" is a
+  deterministic fake lossy codec (magic ``FJPG``, pixels quantized to
+  multiples of 4 → PSNR ≈ 42 dB, above the ≥ 40 dB invariant).  The Spark
+  plumbing (binary column, batch decode, schema) is real and is what a real
+  libjpeg hookup would reuse.
+
+Capture point derivation (the table carries no lon/lat — BASELINE.json):
+    lon = pmod(phash, 360000000)/1e6 − 180
+    lat = pmod(phash DIV 360000000, 180000000)/1e6 − 90
+expressible identically in Spark SQL and DuckDB.  The first rows are pinned
+to the reference's golden coordinates (FIXTURES.md §3) so cell-id goldens are
+exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("bytes", BinaryType(), False),
+        StructField("w", IntegerType(), False),
+        StructField("h", IntegerType(), False),
+        StructField("fmt", StringType(), False),
+        StructField("caption", StringType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+W_CYCLE = (16, 32, 64)
+H_CYCLE = (16, 24, 48)
+FMT_CYCLE = ("png", "jpeg")
+
+# golden pins (FIXTURES.md §3): first rows carry reference coordinates
+GOLDEN_POINTS = [
+    (-73.9857, 40.7580),   # NYC
+    (-74.0060, 40.7128),   # NYC duckdb example
+    (-0.1278, 51.5074),    # London
+    (-0.1276, 51.5074),    # London res 10
+    (139.6503, 35.6762),   # Tokyo
+    (-3.7037, 40.41677),   # Madrid
+    (0.0, 0.0),            # origin
+]
+
+
+# ---------------------------------------------------------------------------
+# codecs
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Grayscale 8-bit PNG, filter 0, single IDAT."""
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bit8, gray
+    raw = b"".join(b"\x00" + img[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert depth == 8 and ctype == 0, "only gray8 supported"
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    out = np.empty((h, w), dtype=np.uint8)
+    stride = w + 1
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        assert row[0] == 0, "only filter 0 supported (we encode filter 0)"
+        out[r] = np.frombuffer(row[1:], dtype=np.uint8)
+    return out
+
+
+_FJPG_MAGIC = b"FJPG"
+_FJPG_Q = 4  # quantization step → PSNR ≈ 20·log10(255·√12/4) ≈ 42 dB
+
+
+def fake_jpeg_encode(img: np.ndarray) -> bytes:
+    """STUB lossy codec (no libjpeg in this container): quantize to Q=4."""
+    h, w = img.shape
+    q = (img.astype(np.int32) // _FJPG_Q).astype(np.uint8)
+    return _FJPG_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def fake_jpeg_decode(data: bytes) -> np.ndarray:
+    assert data[:4] == _FJPG_MAGIC, "not a FJPG stub payload"
+    w, h = struct.unpack(">II", data[4:12])
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8).reshape(h, w)
+    return (q.astype(np.int32) * _FJPG_Q + _FJPG_Q // 2).clip(0, 255).astype(np.uint8)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        return fake_jpeg_decode(data)
+    raise NotImplementedError(
+        f"format {fmt!r}: real image libraries are unavailable in this "
+        "container; wire png_decode/fake_jpeg_decode-style codecs here"
+    )
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0 / np.sqrt(mse))
+
+
+# ---------------------------------------------------------------------------
+# deterministic generation
+# ---------------------------------------------------------------------------
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return (x ^ (x >> np.uint64(31))).astype(np.uint64)
+
+
+def phash_of(i: np.ndarray) -> np.ndarray:
+    """Seeded 64-bit hash of the row index (stable across runs), as signed."""
+    return _splitmix64(np.asarray(i, dtype=np.uint64)).view(np.int64)
+
+
+CAPTURE_MOD = 360000000 * 180000000  # lon micro-deg × lat micro-deg
+
+
+def capture_point(phash) -> tuple:
+    """The shared Spark/DuckDB derivation rule:
+        p = pmod(phash, 360000000·180000000)   (non-negative ⇒ // == DIV)
+        lon = (p % 360000000)/1e6 − 180,  lat = (p // 360000000)/1e6 − 90
+    """
+    ph = np.asarray(phash, dtype=np.int64)
+    p = ph % CAPTURE_MOD  # numpy % is pythonic → non-negative
+    lon = (p % 360000000) / 1e6 - 180.0
+    lat = (p // 360000000) / 1e6 - 90.0
+    return lon, lat
+
+
+def phash_for_point(lon: float, lat: float) -> int:
+    """Inverse of capture_point for coordinates with ≤ 6 decimals — lets the
+    golden rows pin reference coordinates through the same derivation."""
+    lon_i = round((lon + 180.0) * 1e6)
+    lat_i = round((lat + 90.0) * 1e6)
+    return lat_i * 360000000 + lon_i
+
+
+def make_rows(lo: int, hi: int) -> pd.DataFrame:
+    """Rows i ∈ [lo, hi) of the deterministic images table."""
+    rows = []
+    for i in range(lo, hi):
+        w = W_CYCLE[i % 3]
+        h = H_CYCLE[i % 3]
+        fmt = FMT_CYCLE[i % 2]
+        if i < len(GOLDEN_POINTS):
+            # golden pin: choose phash so the derived point IS the golden point
+            ph = phash_for_point(*GOLDEN_POINTS[i])
+        else:
+            ph = int(phash_of(np.array([i]))[0])
+        rng = np.random.default_rng(42 + i)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        data = png_encode(img) if fmt == "png" else fake_jpeg_encode(img)
+        lon, lat = capture_point(np.array([ph]))
+        lon, lat = float(lon[0]), float(lat[0])
+        rows.append(
+            {
+                "image_id": f"img{i:012d}",
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": fmt,
+                "caption": f"caption for img{i:012d} at ({lon:.6f},{lat:.6f})",
+                "phash": ph,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_images_df(spark: SparkSession, n: int, slices: int = 32) -> DataFrame:
+    """Distributed deterministic generation — each partition builds its own
+    index range (no driver-side materialization; scales to any n)."""
+
+    def gen(iterator):
+        for pdf in iterator:
+            for _, r in pdf.iterrows():
+                yield make_rows(int(r.lo), int(r.hi))
+
+    bounds = [
+        (i * n // slices, (i + 1) * n // slices) for i in range(slices)
+    ]
+    bdf = spark.createDataFrame(pd.DataFrame(bounds, columns=["lo", "hi"]))
+    return bdf.repartition(slices, "lo").mapInPandas(gen, IMAGES_SCHEMA)
+
+
+CAPTURE_SQL = (
+    "pmod(phash, CAST(64800000000000000 AS BIGINT))"  # 360e6 · 180e6
+)
+
+
+def with_capture_point(images: DataFrame) -> DataFrame:
+    """Add lon/lat via the portable SQL derivation — identical semantics in
+    Spark SQL and DuckDB (p is non-negative so DIV == floor-div)."""
+    return images.withColumn("__p", F.expr(CAPTURE_SQL)).select(
+        "*",
+        F.expr("(__p % 360000000) / 1e6 - 180.0").alias("lon"),
+        F.expr("(__p DIV 360000000) / 1e6 - 90.0").alias("lat"),
+    ).drop("__p")

@@ -1,0 +1,53 @@
+"""Structured-streaming ingest: continuous image/point arrival → A5 cell
+assignment → watermarked windowed rollups.
+
+The reference is strictly batch (SURVEY.md §2.2 — no streaming surface
+anywhere in a5pg), so this module is engine-added capability: the same
+vectorized encode UDF and native bit rollups run unchanged under
+``readStream``; late data is bounded by an event-time watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import a5_lonlat_to_cell
+
+
+def rate_points_stream(spark: SparkSession, rows_per_sec: int = 1000) -> DataFrame:
+    """Demo source: rate stream → deterministic capture points (same phash
+    derivation as the images table)."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+    )
+    return raw.select(
+        F.col("timestamp").alias("event_time"),
+        F.col("value").alias("key"),
+        (F.pmod(F.col("value") * 2654435761, F.lit(360000000)) / 1e6 - 180.0).alias("lon"),
+        (F.pmod(F.expr("(value * 2654435761) DIV 360000000"), F.lit(180000000)) / 1e6 - 90.0).alias("lat"),
+    )
+
+
+def streaming_cell_counts(
+    points: DataFrame,
+    res: int = 7,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """points stream (event_time, lon, lat) → per-(window, parent cell)
+    arrival counts; watermark bounds state for late data."""
+    cells = points.withColumn(
+        "cell", a5_lonlat_to_cell(F.col("lon"), F.col("lat"), res)
+    )
+    return (
+        cells.withWatermark("event_time", watermark)
+        .groupBy(
+            F.window("event_time", window).alias("w"),
+            F.call_function("a5_cell_to_parent", F.col("cell"), F.lit(3)).alias("parent_cell"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select("w.start", "w.end", "parent_cell", "n")
+    )

@@ -1,0 +1,229 @@
+"""Operator-layer tests: spatial join, kNN, dedup, similarity, text,
+partitioning, lineage — against NumPy ground truth and planted fixtures."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from a5pg_spark.core import bits
+from a5pg_spark.operators import dedup, geometry as G, knn, similarity, spatial_join, text
+from a5pg_spark.plans import lineage, partitioning
+from a5pg_spark.sources import polygons as polysrc
+
+
+@pytest.fixture(scope="module")
+def elephant(spark):
+    return polysrc.elephant_polygons(spark)
+
+
+class TestSpatialJoin:
+    def test_polygon_cover_classification(self, spark, elephant):
+        cover = spatial_join.polygon_cover(elephant, res=8).toPandas()
+        assert set(cover.part) == {"head_trunk", "ear_left", "ear_right",
+                                   "eye_left", "eye_right"}
+        polys = cover[~cover.part.str.startswith("eye")]
+        assert polys.interior.any() or len(polys) > 0
+        # every cover cell's origin is on face 3 quintant 4 (golden region)
+        assert all(bits.origin_of(int(c)) == 19 for c in cover.cell)
+
+    def test_spatial_join_matches_numpy_truth(self, spark, elephant):
+        # deterministic probe grid over the elephant bbox (plus far-away noise)
+        xs = np.linspace(-1.3, 1.3, 27)
+        ys = np.linspace(-1.4, 1.2, 27)
+        gx, gy = np.meshgrid(xs, ys)
+        pts = pd.DataFrame({
+            "pid": np.arange(gx.size),
+            "lon": gx.ravel(), "lat": gy.ravel(),
+        })
+        noise = pd.DataFrame({"pid": [9991, 9992], "lon": [100.0, -50.0],
+                              "lat": [40.0, -30.0]})
+        pts = pd.concat([pts, noise], ignore_index=True)
+        pdf = spark.createDataFrame(pts)
+        out = spatial_join.spatial_join(pdf, elephant, res=8).toPandas()
+
+        # ground truth via the same PIP kernel applied directly
+        geoms = {r.part: json.loads(r.geom_json)
+                 for r in elephant.collect() if "eye" not in r.part}
+        expected = set()
+        for part, geom in geoms.items():
+            polys = [geom["coordinates"]]
+            m = np.zeros(len(pts), dtype=bool)
+            for poly in polys:
+                m |= G.point_in_polygon(pts.lon.to_numpy(), pts.lat.to_numpy(), poly)
+            expected |= {(part, int(pid)) for pid in pts.pid.to_numpy()[m]}
+        got = {(r.part, int(r.pid)) for _, r in out.iterrows() if "eye" not in r.part}
+        assert got == expected
+
+    def test_assign_cells_distinct_elephant(self, spark, elephant):
+        # the reference's final stage: DISTINCT (part, cell)
+        fc = polysrc.elephant_feature_collection()
+        rows = []
+        for f in fc["features"]:
+            g = f["geometry"]
+            if g["type"] != "Polygon":
+                continue
+            grid = G.bbox_grid_points(g["coordinates"], 50)
+            for lon, lat in grid:
+                rows.append((f["properties"]["part"], lon, lat))
+        pdf = spark.createDataFrame(pd.DataFrame(rows, columns=["part", "lon", "lat"]))
+        cells_df = spatial_join.assign_cells_distinct(pdf, res=10).toPandas()
+        # all in face-3 quintant-4 (matches the golden corpus origins)
+        assert all(bits.origin_of(int(c)) == 19 for c in cells_df.cell_id)
+        assert cells_df.groupby("part").size().min() > 5
+
+
+class TestKnn:
+    def test_knn_matches_bruteforce(self, spark):
+        rng = np.random.default_rng(5)
+        # clustered points around three cities + sparse noise
+        centers = [(-74.0, 40.7), (2.35, 48.85), (139.7, 35.7)]
+        pts = []
+        for cx, cy in centers:
+            pts.append(np.column_stack([
+                cx + rng.normal(0, 0.5, 60), cy + rng.normal(0, 0.5, 60)]))
+        pts.append(np.column_stack([rng.uniform(-180, 180, 30),
+                                    rng.uniform(-60, 60, 30)]))
+        P = np.concatenate(pts)
+        points = pd.DataFrame({"pid": np.arange(len(P)), "lon": P[:, 0], "lat": P[:, 1]})
+        queries = pd.DataFrame({"qid": [0, 1, 2],
+                                "lon": [-74.1, 2.5, 100.0],
+                                "lat": [40.8, 48.8, 0.0]})
+        out = knn.knn_join(spark.createDataFrame(queries),
+                           spark.createDataFrame(points), k=5, res=10).toPandas()
+        for _, q in queries.iterrows():
+            d = G.haversine_np(q.lon, q.lat, P[:, 0], P[:, 1])
+            want = set(np.argsort(d, kind="stable")[:5].tolist())
+            got = set(out[out.qid == q.qid].pid.tolist())
+            assert got == want, f"qid {q.qid}: {got} != {want}"
+            assert len(out[out.qid == q.qid]) == 5
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def docs(self, spark, sf_dir):
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # plant exact + near duplicates (deterministic source rows)
+        d0 = base.orderBy("doc_id").limit(3).collect()
+        extra = [
+            (90001, d0[0].text, d0[0].lang, "planted", len(d0[0].text)),          # exact dup
+            (90002, d0[1].text + " extra tail!", d0[1].lang, "planted", 1),       # near dup
+        ]
+        planted = spark.createDataFrame(extra, base.schema)
+        return base.unionByName(planted)
+
+    def test_exact_dedup(self, spark, docs):
+        n = docs.count()
+        out = dedup.exact_dedup(docs)
+        assert out.count() == n - 1  # one planted exact duplicate removed
+        assert out.filter(F.col("doc_id") == 90001).count() == 0
+
+    def test_minhash_lsh_finds_planted_pairs(self, spark, docs):
+        pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).toPandas()
+        found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+        d0 = docs.orderBy("doc_id").limit(3).collect()
+        assert (d0[0].doc_id, 90001) in found          # exact dup (J=1)
+        assert (d0[1].doc_id, 90002) in found          # near dup
+        assert (pairs.jaccard <= 1.0).all() and (pairs.jaccard >= 0.5).all()
+
+    def test_simhash_near_dup(self, spark, docs):
+        pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).toPandas()
+        found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+        d0 = docs.orderBy("doc_id").limit(1).collect()
+        assert (d0[0].doc_id, 90001) in found          # identical text → hamming 0
+
+    def test_embedding_near_dup(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        one = emb.limit(1).collect()[0]
+        jit = [float(x) * 1.001 for x in one.embedding]
+        planted = spark.createDataFrame([(99001, jit, one.label)], emb.schema)
+        pairs = dedup.embedding_near_dup_pairs(
+            emb.unionByName(planted), cosine_threshold=0.999
+        ).toPandas()
+        assert ((pairs.id_a == one.vec_id) & (pairs.id_b == 99001)).any()
+
+
+class TestSimilarity:
+    def test_srp_ann_recall(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        exact = similarity.cosine_topk(q, emb, k=10).toPandas()
+        # synthetic embeddings are near-random (top-10 cosine ≈ 0.25-0.4), so
+        # few planes + many tables is the calibrated operating point
+        approx = similarity.srp_ann_topk(q, emb, k=10, planes=4, tables=8).toPandas()
+        recalls = []
+        for qid in exact.qid.unique():
+            e = set(exact[exact.qid == qid].vec_id)
+            a = set(approx[approx.qid == qid].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5, recalls
+
+
+class TestText:
+    def test_annotate_features(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog and it is fine",
+                "der hund und die katze sind nicht ein problem für uns",
+                "!!! ??? ...",
+            ]}))
+        out = text.annotate(df).toPandas().set_index("doc_id")
+        assert out.loc[1, "lang_pred"] == "en"
+        assert out.loc[2, "lang_pred"] == "de"
+        assert out.loc[1, "n_tokens"] == 13
+        assert out.loc[3, "punct_ratio"] > 0.5
+        assert out.loc[1, "quality"] > out.loc[3, "quality"]
+        assert out.loc[1, "fingerprint"] != out.loc[2, "fingerprint"]
+
+    def test_subword_count(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"text": ["abc123, def!"]}))
+        # subwords: abc, 123, ",", def, "!"
+        n = df.select(text.subword_count("text").alias("n")).first().n
+        assert n == 5
+
+
+class TestPlans:
+    def test_salted_repartition_preserves_rows(self, spark):
+        df = spark.sql(
+            "SELECT a5_synth_cell(id, 8) AS cell, id AS v FROM range(0, 1000)")
+        out = partitioning.salted_repartition_by_prefix(df, coarse_res=3,
+                                                        salt_buckets=4,
+                                                        num_partitions=8)
+        assert out.count() == 1000
+        assert set(out.columns) == {"cell", "v"}
+
+    def test_lineage_idempotent_resume(self, spark, tmp_path):
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.sql("SELECT a5_synth_cell(id, 6) AS cell FROM range(0, 100)")
+
+        p = str(tmp_path / "stage1")
+        df1 = lineage.run_stage(spark, "s1", build, p, inputs=["range"],
+                                config={"res": 6})
+        assert df1.count() == 100 and calls["n"] == 1
+        df2 = lineage.run_stage(spark, "s1", build, p, inputs=["range"],
+                                config={"res": 6})
+        assert df2.count() == 100 and calls["n"] == 1  # resumed, not rebuilt
+        m = json.load(open(f"{p}/_lineage.json"))
+        assert m["rows"] == 100 and m["metrics"]["cells"] is not None
+        assert m["partitions"] and all("rows" in x for x in m["partitions"])
+        # changed config → rebuild
+        lineage.run_stage(spark, "s1", build, p, inputs=["range"],
+                          config={"res": 7})
+        assert calls["n"] == 2
+
+
+class TestStreaming:
+    def test_streaming_plan_builds(self, spark):
+        from a5pg_spark.streaming import ingest
+
+        pts = ingest.rate_points_stream(spark, rows_per_sec=10)
+        agg = ingest.streaming_cell_counts(pts, res=6)
+        assert agg.isStreaming
+        assert set(agg.columns) == {"start", "end", "parent_cell", "n"}
