@@ -8,9 +8,9 @@ Conventions shared by both sides (so value-hashes match):
 * synthetic valid A5 cells from integer keys (the parquet corpus has no
   coordinates):  origin = key mod 32, Hilbert S = key·48271 mod 4^(res−1),
   marker per the verified bit layout (a5pg_spark/core/bits.py).
-* deterministic capture points from keys (FIXTURES.md §1 rule):
+* deterministic capture points from keys:
   lon = (key·2654435761 mod 360000000)/1e6 − 180,
-  lat = ((key·2654435761 // 360000000) mod 180000000)/1e6 − 90.
+  lat = (key·987654321986 mod 180000000)/1e6 − 90.
 * float aggregates are rounded to 4 decimals on both sides.
 """
 
@@ -42,9 +42,11 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
 
 
 # deterministic capture-point derivation (identical text in both dialects)
+# NB: lat uses an independent multiplier — dividing the lon hash by 360e6
+# degenerates to ~-90 for realistic key ranges (poor mixing)
 _PT = (
     "(({k} * 2654435761) % 360000000) / 1e6 - 180.0 AS lon, "
-    "((({k} * 2654435761) // 360000000) % 180000000) / 1e6 - 90.0 AS lat"
+    "(({k} * 987654321986) % 180000000) / 1e6 - 90.0 AS lat"
 )
 _PT_SPARK = _PT.replace("//", "DIV")
 
@@ -334,8 +336,151 @@ ORACLES_SQL["embed_knn_bruteforce"] = """
 """
 
 
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES_SQL)
+
+# -- operator-backed queries (DataFrame programs, not single SQL) ------------
+
+def _q_compact_roundtrip(spark, sf_dir):
+    """compact(uncompact(X)) == X — exercises the iterative set-compaction
+    operator; exact oracle = the synthetic cells themselves."""
+    _prep(spark, sf_dir)
+    from a5pg_spark.operators.compaction import compact_cells, uncompact_cells
+
+    base = spark.sql("SELECT a5_synth_cell(r_regionkey + 1, 2) AS cell FROM region")
+    expanded = uncompact_cells(base, target_res=4)
+    import pyspark.sql.functions as F
+    return compact_cells(expanded).orderBy("cell")
+
+
+ORACLES_SQL["a5_compact_roundtrip"] = f"""
+    SELECT DISTINCT {_synth_duck('r_regionkey + 1', 2)} AS cell FROM region ORDER BY cell
+"""
+
+
+def _q_spatial_join_elephant(spark, sf_dir):
+    """Point-in-polygon spatial join of derived capture points against the
+    elephant polygon layer (scaled 30× so the global point cloud hits it);
+    deterministic counts per part.  No ANSI oracle (projection + PIP)."""
+    _prep(spark, sf_dir)
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.spatial_join import spatial_join
+    from a5pg_spark.sources import polygons as P
+
+    fc = P.elephant_feature_collection()
+    for f in fc["features"]:
+        g = f["geometry"]
+        if g["type"] == "Polygon":
+            g["coordinates"] = [[[x * 30, y * 30] for x, y in r] for r in g["coordinates"]]
+        else:
+            g["coordinates"] = [g["coordinates"][0] * 30, g["coordinates"][1] * 30]
+    polys = P.from_feature_collection(spark, fc)
+    pts = spark.sql(f"""
+        SELECT o_orderkey AS pid, {_PT_SPARK.format(k="o_orderkey")} FROM orders
+    """)
+    out = spatial_join(pts, polys, res=6)
+    return out.groupBy("part").agg(F.count("*").alias("n_points")).orderBy("part")
+
+
+def _q_knn_points(spark, sf_dir):
+    """Exact kNN of 5 probe cities against the derived point cloud."""
+    _prep(spark, sf_dir)
+    import pandas as pd
+
+    from a5pg_spark.operators.knn import knn_join
+
+    q = spark.createDataFrame(pd.DataFrame({
+        "qid": [0, 1, 2, 3, 4],
+        "lon": [-73.9857, -0.1276, 139.6503, -3.7037, 151.2093],
+        "lat": [40.758, 51.5074, 35.6762, 40.41677, -33.8688]}))
+    pts = spark.sql(f"""
+        SELECT o_orderkey AS pid, {_PT_SPARK.format(k="o_orderkey")} FROM orders
+    """)
+    out = knn_join(q, pts, k=5, res=10)
+    import pyspark.sql.functions as F
+    return out.select("qid", "pid", F.round("dist_m", 2).alias("dist_m"), "rk") \
+              .orderBy("qid", "rk")
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs over documents (xxhash64-based — not
+    ANSI-expressible; rows-only driver check + pytest planted-pair tests)."""
+    _prep(spark, sf_dir)
+    from a5pg_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.table("documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q_text_annotate(spark, sf_dir):
+    """Full text-analysis feature set aggregated per source."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.text import annotate
+
+    out = annotate(spark.table("documents"))
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_subwords"), 4).alias("avg_subwords"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.count_distinct("fingerprint").alias("n_fingerprints"),
+    ).orderBy("source")
+
+
+def _q_embed_ann_srp(spark, sf_dir):
+    """SRP-LSH approximate NN (random projections — rows-only check;
+    recall vs brute force asserted in pytest)."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.similarity import srp_ann_topk
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    return srp_ann_topk(q, emb, k=5, planes=4, tables=8).orderBy("qid", "rk")
+
+
+def _q_images_tiling(spark, sf_dir):
+    """Raster→cell tiling smoke over a synthesized deterministic image batch
+    (the parquet corpus has no binary images; generation is part of the
+    engine, sources/images.py)."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.tiling import cell_mosaic, pixels_to_cells
+    from a5pg_spark.sources.images import build_images_df
+
+    imgs = build_images_df(spark, 128, slices=8)
+    tiles = pixels_to_cells(imgs, res=14)
+    return cell_mosaic(tiles, target_res=6).select(
+        "mosaic_cell", "n_pixels", F.round("mean_value", 4).alias("mean_value"),
+        "n_images",
+    ).orderBy("mosaic_cell")
+
+
+_OPERATOR_QUERIES = {
+    "a5_compact_roundtrip": _q_compact_roundtrip,
+    "spatial_join_elephant": _q_spatial_join_elephant,
+    "knn_probe_cities": _q_knn_points,
+    "dedup_minhash_pairs": _q_dedup_minhash,
+    "text_annotate_agg": _q_text_annotate,
+    "embed_ann_srp": _q_embed_ann_srp,
+    "images_tiling_mosaic": _q_images_tiling,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _q(sql) for name, sql in QUERIES_SQL.items()}
+    out = {name: _q(sql) for name, sql in QUERIES_SQL.items()}
+    out.update(_OPERATOR_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -25,24 +25,43 @@ def point_to_s(px, py, res: int, entry, apex, exit_) -> np.ndarray:
     px/py: (N,) sector-frame coords; entry/apex/exit_: (2,) canonical triangle.
     """
     n = px.shape[0]
-    P = np.broadcast_to(entry, (n, 2)).astype(np.float64).copy()
-    Q = np.broadcast_to(apex, (n, 2)).astype(np.float64).copy()
-    R = np.broadcast_to(exit_, (n, 2)).astype(np.float64).copy()
-    pt = np.stack([px, py], axis=-1)
+    Px = np.full(n, entry[0]); Py = np.full(n, entry[1])
+    Qx = np.full(n, apex[0]); Qy = np.full(n, apex[1])
+    Rx = np.full(n, exit_[0]); Ry = np.full(n, exit_[1])
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
     s = np.zeros(n, dtype=np.uint64)
+    # preallocated scratch — the loop below runs up to 56× per call and fresh
+    # temporaries would dominate (first-touch faults are expensive here)
+    Mx = np.empty(n); My = np.empty(n)
+    dx = np.empty(n); dy = np.empty(n)
+    t1 = np.empty(n); t2 = np.empty(n)
+    sb = np.empty(n, dtype=np.uint64)
     depth = 2 * (res - 1)
     for _ in range(depth):
-        M = 0.5 * (P + R)
-        d = M - Q
-        cr_pt = d[:, 0] * (pt[:, 1] - Q[:, 1]) - d[:, 1] * (pt[:, 0] - Q[:, 0])
-        cr_p = d[:, 0] * (P[:, 1] - Q[:, 1]) - d[:, 1] * (P[:, 0] - Q[:, 0])
-        b = (cr_pt * cr_p) < 0  # opposite side from P → second child
-        s = (s << np.uint64(1)) | b.astype(np.uint64)
-        bb = b[:, None]
-        P_new = np.where(bb, Q, P)
-        R_new = np.where(bb, R, Q)
-        Q_new = M
-        P, Q, R = P_new, Q_new, R_new
+        np.add(Px, Rx, out=Mx); Mx *= 0.5
+        np.add(Py, Ry, out=My); My *= 0.5
+        np.subtract(Mx, Qx, out=dx)
+        np.subtract(My, Qy, out=dy)
+        # cr_pt = dx·(py−Qy) − dy·(px−Qx)
+        np.subtract(py, Qy, out=t1); t1 *= dx
+        np.subtract(px, Qx, out=t2); t2 *= dy
+        t1 -= t2  # cr_pt
+        # cr_p = dx·(Py−Qy) − dy·(Px−Qx)
+        np.subtract(Py, Qy, out=t2); t2 *= dx
+        cr_p = t2
+        t3 = Px - Qx  # one temp per loop is acceptable
+        t3 *= dy
+        cr_p -= t3
+        b = (t1 * cr_p) < 0  # opposite side from P → second child
+        s <<= np.uint64(1)
+        np.add(s, b, out=s, casting="unsafe")
+        # b==0 → (P, M, Q);  b==1 → (Q, M, R) — vectorized masked copies
+        np.copyto(Px, Qx, where=b); np.copyto(Py, Qy, where=b)
+        nb = ~b
+        np.copyto(Rx, Qx, where=nb); np.copyto(Ry, Qy, where=nb)
+        Qx, Mx = Mx, Qx  # swap buffers: Q ← M, old Q becomes scratch
+        Qy, My = My, Qy
     return s
 
 

@@ -100,9 +100,15 @@ def forward(lon_deg, lat_deg):
     v = lonlat_to_xyz(lon_deg, lat_deg)
     v = np.atleast_2d(v)
     face = nearest_face(v)
-    w = np.einsum("nij,nj->ni", FACE_ROT[face], v)
-    z = np.arccos(np.clip(w[:, 2], -1.0, 1.0))
-    az = np.arctan2(w[:, 1], w[:, 0])
+    # component-wise rotation (9 scalar gathers) — ~3× cheaper than gathering
+    # a (n,3,3) matrix stack for einsum
+    R = FACE_ROT
+    vx, vy, vz = v[:, 0], v[:, 1], v[:, 2]
+    wx = R[face, 0, 0] * vx + R[face, 0, 1] * vy + R[face, 0, 2] * vz
+    wy = R[face, 1, 0] * vx + R[face, 1, 1] * vy + R[face, 1, 2] * vz
+    wz = R[face, 2, 0] * vx + R[face, 2, 1] * vy + R[face, 2, 2] * vz
+    z = np.arccos(np.clip(wz, -1.0, 1.0))
+    az = np.arctan2(wy, wx)
     azl = np.mod(_SIGNS[face] * (az - _ALPHAS[face]), 2.0 * np.pi)
     q = np.minimum((azl / TWO_PI_OVER_5).astype(np.int64), 4)
     b = azl - TWO_PI_OVER_5 * q - PI_OVER_5  # ∈ [−π/5, π/5), 0 at edge midpoint
@@ -140,8 +146,16 @@ def inverse(face, q, x, y):
     azl = TWO_PI_OVER_5 * q + PI_OVER_5 + mirror * a
     az = _ALPHAS[face] + _SIGNS[face] * azl
     sz = np.sin(z)
-    w = np.stack([sz * np.cos(az), sz * np.sin(az), np.cos(z)], axis=-1)
-    v = np.einsum("nij,nj->ni", FACE_ROT_INV[face], w)
+    wx, wy, wz = sz * np.cos(az), sz * np.sin(az), np.cos(z)
+    R = FACE_ROT_INV
+    v = np.stack(
+        [
+            R[face, 0, 0] * wx + R[face, 0, 1] * wy + R[face, 0, 2] * wz,
+            R[face, 1, 0] * wx + R[face, 1, 1] * wy + R[face, 1, 2] * wz,
+            R[face, 2, 0] * wx + R[face, 2, 1] * wy + R[face, 2, 2] * wz,
+        ],
+        axis=-1,
+    )
     return xyz_to_lonlat(v)
 
 

@@ -1,1 +1,10 @@
-from . import dedup, geometry, knn, similarity, spatial_join, text, tiling  # noqa: F401
+from . import (  # noqa: F401
+    compaction,
+    dedup,
+    geometry,
+    knn,
+    similarity,
+    spatial_join,
+    text,
+    tiling,
+)

@@ -7,16 +7,19 @@ as a scale-first DataFrame program (SURVEY.md §2.4.1):
 1. **cover**: each polygon → covering cell set at resolution R, classified
    ``interior`` (cell fully inside — accepted without refinement) or
    ``boundary`` (needs the exact test).  Computed distributed via
-   ``applyInPandas`` (one polygon per group) — polygons are the small side.
-2. **join**: points get their res-R cell (Arrow UDF) and equi-join the cover
-   on ``cell``.  The cover is broadcast when small; AQE handles skew
-   otherwise.  Catalyst sees a plain equi-join → broadcast-hash or
-   sort-merge, and the heavy `bytes`-style payload columns are never touched
-   (column pruning).
-3. **refine**: rows matched through *boundary* cells run the exact even-odd
-   PIP test in a vectorized pandas UDF; interior matches skip Python
-   entirely.  At 100 TB the interior fraction dominates (→ the Python path
-   is a thin sliver of boundary cells).
+   ``applyInPandas`` (one polygon per group), then materialized driver-side —
+   covers are the small dimension side, and broadcasting a raw
+   applyInPandas plan re-executes its Python stage inside the broadcast
+   exchange (measured 3× slower).
+2. **join**: points get their res-R cell (Arrow UDF) and equi-join the
+   broadcast cover on ``cell`` — Catalyst sees a plain broadcast-hash join;
+   payload columns are never touched (column pruning).
+3. **refine**: rows matched through *boundary* cells run an exact even-odd
+   crossing test **as a native Catalyst expression** (higher-order aggregate
+   over the polygon's edge list, carried on the broadcast row).  No Python
+   operator after the join: a pandas UDF downstream of a broadcast join
+   measured ~10× slower per stage than the native filter, and at 100 TB the
+   refinement must stay inside whole-stage codegen anyway.
 """
 
 from __future__ import annotations
@@ -25,11 +28,12 @@ import json
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -48,16 +52,35 @@ COVER_SCHEMA = StructType(
     ]
 )
 
+EDGE_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("x1", DoubleType()),
+            StructField("y1", DoubleType()),
+            StructField("x2", DoubleType()),
+            StructField("y2", DoubleType()),
+        ]
+    )
+)
+
 
 def polygon_cover(
-    polygons: DataFrame, res: int, segment_deg: float = 0.02, grid_n: int = 50
+    polygons: DataFrame, res: int, segment_deg: float | None = None,
+    grid_n: int | None = None,
 ) -> DataFrame:
     """(part, geom_json) → (part, cell, interior) covering cells at ``res``.
 
-    Sampling mirrors the reference's three deterministic strategies
-    (boundary segmentize + bbox grid + vertices); a cell is ``interior`` when
-    every vertex of its boundary ring passes the PIP test.
+    Sampling mirrors the reference's deterministic strategies (boundary
+    segmentize + bbox grid + vertices), with density tied to the cell size —
+    a fixed 51×51 grid (the reference's choice) misses interior cells
+    whenever grid spacing exceeds the cell width.  A cell is ``interior``
+    when every vertex of its boundary ring passes the PIP test.
     """
+    from ..core.areas import cell_area
+
+    # approximate cell width in degrees at this resolution (equal-area cells)
+    cell_w_deg = float(np.sqrt(cell_area(res)) / 111_000.0)
+    seg = segment_deg if segment_deg is not None else max(cell_w_deg / 3.0, 1e-6)
 
     def cover_one(pdf: pd.DataFrame) -> pd.DataFrame:
         out_part, out_cell, out_int = [], [], []
@@ -72,15 +95,21 @@ def polygon_cover(
             polys = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
             for poly in polys:
                 outer = np.asarray(poly[0], dtype=np.float64)
+                if grid_n is None:
+                    span = float(
+                        max(outer[:, 0].ptp(), outer[:, 1].ptp(), 1e-9)
+                    )
+                    n_grid = int(np.clip(np.ceil(span / (0.4 * cell_w_deg)), 50, 4000))
+                else:
+                    n_grid = grid_n
                 pts = [
-                    G.segmentize_ring(outer, segment_deg),
-                    G.bbox_grid_points(poly, grid_n),
+                    G.segmentize_ring(outer, seg),
+                    G.bbox_grid_points(poly, n_grid),
                     outer,
                 ]
                 pts = np.concatenate([p for p in pts if len(p)], axis=0)
                 ids = _cells.lonlat_to_cell(pts[:, 0], pts[:, 1], res)
                 uniq = np.unique(ids)
-                # classify: all boundary-ring vertices inside → interior
                 rings = _cells.cell_to_boundary_batch(uniq, closed_ring=False, segments=1)
                 for cid, ring in zip(uniq, rings):
                     inside = G.point_in_polygon(ring[:, 0], ring[:, 1], poly)
@@ -97,6 +126,53 @@ def polygon_cover(
     )
 
 
+def _edge_rows(polygons: DataFrame) -> list:
+    """Driver-side: (part, edges, is_point, px, py) — all rings' edges
+    concatenated (even-odd works across outer ring + holes)."""
+    rows = []
+    for r in polygons.collect():
+        geom = json.loads(r.geom_json)
+        if geom["type"] == "Point":
+            x, y = geom["coordinates"]
+            rows.append((r.part, [], True, float(x), float(y)))
+            continue
+        polys = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
+        edges = []
+        for poly in polys:
+            for ring in poly:
+                arr = np.asarray(ring, dtype=np.float64)
+                for i in range(len(arr)):
+                    a, b = arr[i], arr[(i + 1) % len(arr)]
+                    if a[0] == b[0] and a[1] == b[1]:
+                        continue
+                    edges.append((float(a[0]), float(a[1]), float(b[0]), float(b[1])))
+        rows.append((r.part, edges, False, 0.0, 0.0))
+    return rows
+
+
+def pip_native(lon: Column, lat: Column, edges: Column) -> Column:
+    """Exact even-odd crossing test as a pure Catalyst expression:
+    count edges whose span straddles ``lat`` and whose crossing x exceeds
+    ``lon``; odd count ⇒ inside.  Same semantics as geometry.point_in_ring."""
+    # nested WHEN so the division is only evaluated for straddling edges
+    # (y2 != y1 there) — ANSI mode errors on divide-by-zero otherwise
+    crossing = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            (e["y1"] > lat) != (e["y2"] > lat),
+            F.when(
+                lon
+                < (e["x2"] - e["x1"]) * (lat - e["y1"]) / (e["y2"] - e["y1"])
+                + e["x1"],
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).otherwise(F.lit(0)),
+    )
+    return (crossing % 2) == 1
+
+
 def spatial_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -106,46 +182,45 @@ def spatial_join(
     broadcast_cover: bool = True,
 ) -> DataFrame:
     """Join points (lon/lat) against polygons (part, geom_json) → points
-    annotated with the containing ``part``.  Exact: interior-cell fast path +
-    PIP refinement on boundary cells."""
+    annotated with the containing ``part``.  Exact: interior-cell fast path;
+    boundary cells refined by the native even-odd test (zero Python after
+    the join)."""
     spark = points.sparkSession
     cover = polygon_cover(polygons, res)
-    if broadcast_cover:
-        cover = F.broadcast(cover)
-
-    pts = points.withColumn("__cell", a5_lonlat_to_cell(F.col(lon_col), F.col(lat_col), res))
-    joined = pts.join(cover, pts["__cell"] == cover["cell"], "inner")
-
-    # exact refinement only where interior = false
-    geoms = {r.part: json.loads(r.geom_json) for r in polygons.collect()}
-    bc = spark.sparkContext.broadcast(geoms)
-
-    @pandas_udf(BooleanType())
-    def pip(part: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        out = np.zeros(len(part), dtype=bool)
-        lo = lon.to_numpy(dtype=np.float64)
-        la = lat.to_numpy(dtype=np.float64)
-        for p in part.unique():
-            geom = bc.value.get(p)
-            m = (part == p).to_numpy()
-            if geom is None:
-                continue
-            if geom["type"] == "Point":
-                out[m] = (np.abs(lo[m] - geom["coordinates"][0]) < 1e-12) & (
-                    np.abs(la[m] - geom["coordinates"][1]) < 1e-12
-                )
-            else:
-                polys = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
-                acc = np.zeros(m.sum(), dtype=bool)
-                for poly in polys:
-                    acc |= G.point_in_polygon(lo[m], la[m], poly)
-                out[m] = acc
-        return pd.Series(out)
-
-    refined = joined.filter(
-        F.col("interior") | pip(F.col("part"), F.col(lon_col), F.col(lat_col))
+    edges_schema = StructType(
+        [
+            StructField("part", StringType()),
+            StructField("edges", EDGE_TYPE),
+            StructField("is_point", BooleanType()),
+            StructField("px", DoubleType()),
+            StructField("py", DoubleType()),
+        ]
     )
-    return refined.drop("cell", "interior")
+    edges_df = spark.createDataFrame(_edge_rows(polygons), edges_schema)
+    cover_full = cover.join(edges_df, "part")
+    if broadcast_cover:
+        # materialize: broadcasting the applyInPandas plan would re-run its
+        # Python stage inside the broadcast exchange (slow) — a local-relation
+        # broadcast is instant
+        cover_full = F.broadcast(
+            spark.createDataFrame(cover_full.toPandas(), cover_full.schema)
+        )
+
+    pts = points.withColumn(
+        "__cell", a5_lonlat_to_cell(F.col(lon_col), F.col(lat_col), res)
+    )
+    joined = pts.join(cover_full, pts["__cell"] == cover_full["cell"], "inner")
+
+    lon = F.col(lon_col)
+    lat = F.col(lat_col)
+    keep = (
+        F.col("interior")
+        | (F.col("is_point") & (lon == F.col("px")) & (lat == F.col("py")))
+        | (~F.col("is_point") & pip_native(lon, lat, F.col("edges")))
+    )
+    return joined.filter(keep).drop(
+        "cell", "interior", "edges", "is_point", "px", "py", "__cell"
+    )
 
 
 def assign_cells_distinct(points: DataFrame, res: int, part_col: str = "part",

@@ -50,40 +50,67 @@ def pixels_to_cells(
     aggregates at resolution ``res``.  ``pixel_deg`` is the ground sample
     distance in degrees (images are anchored at their capture point)."""
 
+    SUB_BATCH = 512  # images per kernel pass — bounds the per-worker working
+    # set (~30 MB) so N workers don't churn gigabytes of fresh pages per batch
+
     def tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_img, out_cell, out_n, out_s, out_mn, out_mx = [], [], [], [], [], []
-            for row in pdf.itertuples():
-                img = decode_image(bytes(row.bytes), row.fmt)
-                h, w = img.shape
-                lon0, lat0 = capture_point(np.array([row.phash]))
-                cols = (np.arange(w) - w / 2.0) * pixel_deg + lon0[0]
-                rows_ = (h / 2.0 - np.arange(h)) * pixel_deg + lat0[0]
-                glon, glat = np.meshgrid(cols, rows_)
-                ids = _cells.lonlat_to_cell(glon.ravel(), glat.ravel(), res)
-                vals = img.ravel().astype(np.float64)
-                # map-side combine within the image
-                uniq, inv = np.unique(ids, return_inverse=True)
-                n = np.bincount(inv)
-                s = np.bincount(inv, weights=vals)
-                mn = np.full(len(uniq), np.inf)
-                np.minimum.at(mn, inv, vals)
-                mx = np.full(len(uniq), -np.inf)
-                np.maximum.at(mx, inv, vals)
-                out_img.extend([row.image_id] * len(uniq))
-                out_cell.extend(uniq.tolist())
-                out_n.extend(n.tolist())
-                out_s.extend(s.tolist())
-                out_mn.extend(mn.tolist())
-                out_mx.extend(mx.tolist())
+        for big in batches:
+            for lo in range(0, len(big), SUB_BATCH):
+                yield from _tile_one(big.iloc[lo : lo + SUB_BATCH])
+
+    def _tile_one(pdf: pd.DataFrame) -> Iterator[pd.DataFrame]:
+        for pdf in [pdf]:
+            # decode is per-image (variable shapes); everything downstream is
+            # vectorized across ALL pixels of the batch in single NumPy calls
+            imgs = [decode_image(bytes(r.bytes), r.fmt) for r in pdf.itertuples()]
+            if not imgs:
+                continue
+            lon0, lat0 = capture_point(pdf.phash.to_numpy())
+            # group images by shape: coordinate grids are built with ONE
+            # broadcast per (h, w) group instead of per image
+            by_shape: dict = {}
+            for i, im in enumerate(imgs):
+                by_shape.setdefault(im.shape, []).append(i)
+            parts_idx, parts_lon, parts_lat, parts_val = [], [], [], []
+            for (h, w), idxs in by_shape.items():
+                idxs = np.asarray(idxs)
+                k = len(idxs)
+                mesh_x = (np.arange(w) - w / 2.0) * pixel_deg  # (w,)
+                mesh_y = (h / 2.0 - np.arange(h)) * pixel_deg  # (h,)
+                gl = (lon0[idxs][:, None, None] + mesh_x[None, None, :])
+                ga = (lat0[idxs][:, None, None] + mesh_y[None, :, None])
+                parts_lon.append(np.broadcast_to(gl, (k, h, w)).reshape(-1))
+                parts_lat.append(np.broadcast_to(ga, (k, h, w)).reshape(-1))
+                parts_val.append(
+                    np.stack([imgs[i] for i in idxs]).reshape(-1).astype(np.float64)
+                )
+                parts_idx.append(np.repeat(idxs, h * w))
+            glon = np.concatenate(parts_lon)
+            glat = np.concatenate(parts_lat)
+            vals = np.concatenate(parts_val)
+            img_idx = np.concatenate(parts_idx)
+            ids = _cells.lonlat_to_cell(glon, glat, res)
+
+            # map-side combine across the batch: group by (image, cell) via
+            # lexsort + reduceat — no per-image Python loop
+            order = np.lexsort((ids, img_idx))
+            gi, gc, gv = img_idx[order], ids[order], vals[order]
+            bnd = np.empty(len(gi), dtype=bool)
+            bnd[0] = True
+            np.logical_or(gi[1:] != gi[:-1], gc[1:] != gc[:-1], out=bnd[1:])
+            starts = np.nonzero(bnd)[0]
+            n = np.diff(np.append(starts, len(gi)))
+            s = np.add.reduceat(gv, starts)
+            mn = np.minimum.reduceat(gv, starts)
+            mx = np.maximum.reduceat(gv, starts)
             yield pd.DataFrame(
                 {
-                    "image_id": out_img,
-                    "cell": out_cell,
-                    "n_pixels": out_n,
-                    "sum_value": out_s,
-                    "min_value": out_mn,
-                    "max_value": out_mx,
+                    "image_id": pdf.image_id.to_numpy()[gi[starts]],
+                    "cell": gc[starts],
+                    "n_pixels": n,
+                    "sum_value": s,
+                    "min_value": mn,
+                    "max_value": mx,
                 }
             )
 

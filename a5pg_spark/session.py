@@ -9,6 +9,24 @@ from __future__ import annotations
 
 import os
 
+# Pin BLAS/OpenMP to one thread BEFORE any JVM/worker is spawned: every Spark
+# python worker would otherwise start a full BLAS thread pool (32 threads ×
+# N workers ⇒ measured 15× CPU blow-up and inverse scaling on the tiling
+# kernels).  Spark tasks are the parallelism unit; kernels must be
+# single-threaded.  Python workers inherit this via the JVM's environment.
+for _v in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "OMP_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+    os.environ[_v] = "1"
+
+# Retain and reuse freed heap memory: this environment has very expensive
+# first-touch page faults (microVM EPT exits ≈ 150 µs/page), and NumPy's
+# large temporaries are mmap'd/munmap'd per call by default — every kernel
+# launch would re-fault its working set (measured 40% slower kernels and
+# multi-second first-run stalls).  Keeping large allocations on the brk heap
+# makes the per-batch working set fault once per worker lifetime.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
 from pyspark.sql import SparkSession
 
 

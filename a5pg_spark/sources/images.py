@@ -112,13 +112,12 @@ def png_decode(data: bytes) -> np.ndarray:
             idat += body
         pos += 12 + ln
     raw = zlib.decompress(idat)
-    out = np.empty((h, w), dtype=np.uint8)
-    stride = w + 1
-    for r in range(h):
-        row = raw[r * stride : (r + 1) * stride]
-        assert row[0] == 0, "only filter 0 supported (we encode filter 0)"
-        out[r] = np.frombuffer(row[1:], dtype=np.uint8)
-    return out
+    # vectorized un-filter: scanlines are [filter_byte, w pixels] — we encode
+    # filter 0 only, so decode is a single reshape + slice
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if (arr[:, 0] != 0).any():
+        raise NotImplementedError("only filter 0 supported (we encode filter 0)")
+    return np.ascontiguousarray(arr[:, 1:])
 
 
 _FJPG_MAGIC = b"FJPG"

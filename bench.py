@@ -64,7 +64,7 @@ def main() -> None:
         SELECT a5_cell_to_parent(cell, 4) AS p, COUNT(*) AS n FROM (
           SELECT a5_lonlat_to_cell(
                    ((o_orderkey * 2654435761) % 360000000) / 1e6 - 180.0,
-                   (((o_orderkey * 2654435761) DIV 360000000) % 180000000) / 1e6 - 90.0,
+                   ((o_orderkey * 987654321986) % 180000000) / 1e6 - 90.0,
                    9) AS cell
           FROM orders) GROUP BY p
         """

@@ -1,0 +1,117 @@
+"""The flagship spatial-join + tiling job for the scaling protocol
+(BASELINE.md): run identically at two parallelism levels via
+
+    spark-submit --master local[8]  --py-files a5pg_spark.zip tools/scaling_job.py
+    spark-submit --master local[32] --py-files a5pg_spark.zip tools/scaling_job.py
+
+Reads the pre-built deterministic images parquet, then:
+  1. tiling: decode → pixels → res-13 cells → per-image tiles (mapInPandas)
+  2. mosaic rollup to res 7 (native bit parent + shuffle agg)
+  3. spatial join: capture points vs a 12-feature polygon layer (cover +
+     PIP refinement)
+Prints ONE JSON line with wall seconds and images/sec.
+"""
+
+import json
+import os
+import sys
+import time
+
+for _v in ("OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS", "OMP_NUM_THREADS",
+           "NUMEXPR_NUM_THREADS"):
+    os.environ[_v] = "1"  # see a5pg_spark/session.py — BLAS threads × workers
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = os.environ.get("SCALING_DATA", "/root/repo/BENCH/data/images.parquet")
+
+
+def polygon_layer(spark):
+    """Elephant features tiled 4× around the globe → 12-feature layer."""
+    import json as _json
+
+    from a5pg_spark.sources import polygons as P
+
+    fc = P.elephant_feature_collection()
+    feats = []
+    for dx, dy in [(0, 0), (90, 20), (-120, -30), (160, 45)]:
+        for f in fc["features"]:
+            g = _json.loads(_json.dumps(f["geometry"]))
+            if g["type"] == "Polygon":
+                g["coordinates"] = [
+                    [[x + dx, y + dy] for x, y in ring] for ring in g["coordinates"]
+                ]
+            else:
+                g["coordinates"] = [g["coordinates"][0] + dx, g["coordinates"][1] + dy]
+            feats.append(
+                {"properties": {"part": f["properties"]["part"] + f"_{dx}_{dy}"},
+                 "geometry": g}
+            )
+    return P.from_feature_collection(spark, {"features": feats})
+
+
+def main():
+    from a5pg_spark import functions as A
+    from a5pg_spark.operators import spatial_join, tiling
+    from a5pg_spark.sources import images as I
+
+    spark = SparkSession.builder.appName("a5_scaling").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    A.register(spark)
+
+    cores = spark.sparkContext.defaultParallelism
+    # parquet of small images coalesces into ~1 input split under the default
+    # maxPartitionBytes — repartition to keep every core busy (at real scale
+    # the table is thousands of splits and this is a no-op)
+    images = spark.read.parquet(DATA).repartition(cores * 3).cache()
+    n_images = images.count()
+
+    # warm-up pass: run the ENTIRE pipeline once on a small sample so worker
+    # spawn, module import, codegen, and broadcast setup are excluded from the
+    # measured window (both parallelism levels warm identically)
+    polys = polygon_layer(spark)
+    warm = images.limit(512).cache()
+    warm.count()
+    tiling.cell_mosaic(tiling.pixels_to_cells(warm, res=13), target_res=7).count()
+    wpts = I.with_capture_point(warm).select("image_id", "caption", "lon", "lat")
+    spatial_join.spatial_join(wpts, polys, res=7).count()
+    warm.unpersist()
+
+    t0 = time.time()
+    tiles = tiling.pixels_to_cells(images, res=13)
+    mosaic_n = tiling.cell_mosaic(tiles, target_res=7).count()
+    t_tile = time.time() - t0
+
+    t1 = time.time()
+    pts = I.with_capture_point(images).select("image_id", "caption", "lon", "lat").cache()
+    joined = spatial_join.spatial_join(pts, polys, res=7).cache()
+    join_n = joined.count()
+    t_join = time.time() - t1
+    # caption-equality invariant through the join (per-row payload contract)
+    cap_ok = joined.filter(F.col("caption").startswith("caption for ")).count()
+    wall = time.time() - t0
+
+    out = {
+        "master": spark.sparkContext.master,
+        "images": n_images,
+        "wall_sec": round(wall, 3),
+        "tile_sec": round(t_tile, 3),
+        "join_sec": round(t_join, 3),
+        "images_per_sec": round(n_images / wall, 2),
+        "mosaic_cells": mosaic_n,
+        "join_rows": join_n,
+        "caption_invariant_ok": cap_ok == join_n,
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+    }
+    print("SCALING_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
