@@ -71,15 +71,18 @@ def main():
     images = spark.read.parquet(DATA).repartition(cores * 3).cache()
     n_images = images.count()
 
-    # warm-up pass: run the ENTIRE pipeline once on a small sample so worker
-    # spawn, module import, codegen, and broadcast setup are excluded from the
-    # measured window (both parallelism levels warm identically)
+    # warm-up pass at FULL pool width: pyspark's daemon forks python workers
+    # serially, and scalar-UDF / grouped-map / mapInPandas each use their own
+    # worker pool — a 1-partition warmup leaves (cores−1) forks + imports per
+    # pool inside the measured window (measured ~20-30 s at 32 cores).  Every
+    # warm stage below runs ≥ cores tasks so each pool is fully populated
+    # before t0, identically at both parallelism levels.
     polys = polygon_layer(spark)
-    warm = images.limit(512).cache()
+    warm = images.limit(cores * 32).repartition(cores).cache()
     warm.count()
     tiling.cell_mosaic(tiling.pixels_to_cells(warm, res=13), target_res=7).count()
     wpts = I.with_capture_point(warm).select("image_id", "caption", "lon", "lat")
-    spatial_join.spatial_join(wpts, polys, res=7).count()
+    spatial_join.spatial_join(wpts.repartition(cores), polys, res=7).count()
     warm.unpersist()
 
     t0 = time.time()
