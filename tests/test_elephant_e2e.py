@@ -97,11 +97,11 @@ class TestElephantE2E:
         for p, _ in pairs:
             counts[p] = counts.get(p, 0) + 1
         assert counts["eye_left"] == 1 and counts["eye_right"] == 1
-        # The golden corpus has 48 cells/part; ours ~195 = 4× — hard evidence
-        # that an a5 pentagon at a given marker position covers the area of
-        # FOUR of our lattice triangles (a5's num_cells(r) behaves as
-        # 60·4^(r−2) per this corpus).  Tracked in DESIGN.md §4 as the key
-        # datum for reconstructing the pentagon lattice next round.
+        # The golden corpus has exactly 48 cells for every polygon part even
+        # though head_trunk is ~3× the ear's area — its per-part counts are
+        # truncated (random-sampling stage), so they don't constrain coverage
+        # density.  Our counts are consistent with our (area-exact) cell
+        # sizes: ear ~166 expected/195 got, head ~451 expected/475 got.
         for p in ("head_trunk", "ear_left", "ear_right"):
             assert 150 <= counts[p] <= 600, counts
         # determinism: re-run → identical
