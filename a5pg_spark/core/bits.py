@@ -104,9 +104,12 @@ def cell_to_parent(cells, target_res) -> np.ndarray:
     p = (_U59 - _U2 * tr.astype(np.uint64)).astype(np.uint64)
     keep = (_U63MASK << (p + _U1)) & _U63MASK
     parent = (u & keep) | (_U1 << p)
-    # res 0: origin field becomes the face id = quintant // 5
+    # res 0: origin field becomes the face id = quintant // 5; a cell that is
+    # *already* res 0 stores the face id directly — parent at its own
+    # resolution is the identity (matches a5::cell_to_parent semantics)
     face0 = ((u >> _U58) // np.uint64(5)) << _U58 | (_U1 << np.uint64(57))
-    out = np.where(tr == 0, face0, parent)
+    already0 = get_resolution(cells) == 0
+    out = np.where(tr == 0, np.where(already0, u, face0), parent)
     return _as_i64(out.astype(np.uint64))
 
 
@@ -127,6 +130,14 @@ def cell_to_children(cell: int, target_res: int) -> np.ndarray:
         raise ValueError(f"target_res {target_res} > MAX_RES {MAX_RES}")
     if res == 0:
         face = int(cu >> _U58)
+        if target_res == 1 and face <= 2:
+            # quintants 0-11 alias res-0 face cells (marker bit 57 is shared —
+            # DESIGN.md §3); refusing loudly beats returning self-inconsistent
+            # ids that decode back as res-0 faces
+            raise ValueError(
+                f"res-1 children of face {face} are unrepresentable: quintants "
+                "0-11 alias res-0 face ids (see DESIGN.md §3); use target_res >= 2"
+            )
         quintants = np.arange(5 * face, 5 * face + 5, dtype=np.uint64)
         bases = (quintants << _U58) | (_U1 << np.uint64(57))
         if target_res == 1:

@@ -52,17 +52,22 @@ SQL_BODIES = {
         f"ELSE (59 - {_TZ}) DIV 2 END AS INT)"
     ),
     # parent: clear everything below the new marker; res-0 maps quintant→face
+    # (a res-0 input already stores the face id — identity, not DIV 5)
     "a5_cell_to_parent": (
         "(id BIGINT, target_res INT) RETURNS BIGINT RETURN "
         "CASE WHEN target_res = 0 THEN "
-        "  shiftleft(CAST(shiftrightunsigned(id, 58) DIV 5 AS BIGINT), 58) | shiftleft(CAST(1 AS BIGINT), 57) "
+        "  CASE WHEN a5_get_resolution(id) = 0 THEN id "
+        "  ELSE shiftleft(CAST(shiftrightunsigned(id, 58) DIV 5 AS BIGINT), 58) | shiftleft(CAST(1 AS BIGINT), 57) END "
         "ELSE (id & shiftleft(CAST(-1 AS BIGINT), 60 - 2 * target_res)) | shiftleft(CAST(1 AS BIGINT), 59 - 2 * target_res) END"
     ),
     # children: append each 2-bit suffix, marker two below (verified vs
     # expected/duckdb_examples.out:4); res-0 expands into 5 quintants first
     "a5_cell_to_children": (
         "(id BIGINT, target_res INT) RETURNS ARRAY<BIGINT> RETURN "
-        "CASE WHEN a5_get_resolution(id) = 0 THEN "
+        "CASE WHEN a5_get_resolution(id) = 0 AND target_res = 1 AND shiftrightunsigned(id, 58) <= 2 THEN "
+        # quintants 0-11 alias res-0 face ids (DESIGN.md §3) — refuse loudly
+        "  array(CAST(raise_error('res-1 children of faces 0-2 are unrepresentable; use target_res >= 2') AS BIGINT)) "
+        "WHEN a5_get_resolution(id) = 0 THEN "
         "  flatten(transform(sequence(CAST(0 AS BIGINT), CAST(4 AS BIGINT)), q -> "
         "    CASE WHEN target_res = 1 THEN "
         "      array(shiftleft(CAST(shiftrightunsigned(id, 58) AS BIGINT) * 5 + q, 58) | shiftleft(CAST(1 AS BIGINT), 57)) "
@@ -140,6 +145,19 @@ def _strict_mask(*series) -> pd.Series:
     return m
 
 
+def _ids_i64(cell: pd.Series) -> np.ndarray:
+    """LongType series → int64 ndarray without a float64 intermediate.
+
+    ``to_numpy(dtype="float64")`` silently corrupts ids with > 53 significant
+    bits (res ≥ ~25) — a res-28 id would round-trip to a *different* cell.
+    Nulls (masked separately by callers) become 0 here.
+    """
+    if cell.dtype == np.int64:
+        return cell.to_numpy()
+    # nullable Int64 / object / float-backed: fill NAs then cast exactly
+    return cell.fillna(0).astype("int64").to_numpy()
+
+
 @pandas_udf(LongType())
 def _lonlat_to_cell_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
     na = _strict_mask(lon, lat, res)
@@ -155,7 +173,7 @@ def _lonlat_to_cell_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Se
 @pandas_udf(ArrayType(DoubleType()))
 def _cell_to_lonlat_udf(cell: pd.Series) -> pd.Series:
     na = cell.isna()
-    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    ids = _ids_i64(cell)
     lon, lat = cells.cell_to_lonlat(ids)
     pairs = np.stack([lon, lat], axis=-1)
     out = pd.Series(list(pairs))
@@ -166,7 +184,7 @@ def _cell_to_lonlat_udf(cell: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def _cell_to_lon_udf(cell: pd.Series) -> pd.Series:
     na = cell.isna()
-    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    ids = _ids_i64(cell)
     lon, _ = cells.cell_to_lonlat(ids)
     out = pd.Series(lon)
     out[na.to_numpy()] = np.nan
@@ -176,7 +194,7 @@ def _cell_to_lon_udf(cell: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def _cell_to_lat_udf(cell: pd.Series) -> pd.Series:
     na = cell.isna()
-    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    ids = _ids_i64(cell)
     _, lat = cells.cell_to_lonlat(ids)
     out = pd.Series(lat)
     out[na.to_numpy()] = np.nan
@@ -188,20 +206,26 @@ def _cell_to_boundary_udf(
     cell: pd.Series, closed: pd.Series, segments: pd.Series
 ) -> pd.Series:
     na = cell.isna()
-    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
-    closed_v = bool(closed.iloc[0]) if len(closed) and not closed.isna().all() else True
-    seg_v = None
-    if len(segments) and not segments.isna().all():
-        seg_v = int(segments.dropna().iloc[0])
-    rings = cells.cell_to_boundary_batch(ids, closed_ring=closed_v, segments=seg_v)
-    out = pd.Series([r.tolist() for r in rings])
+    ids = _ids_i64(cell)
+    # closed/segments may vary per row: group by the distinct (closed, seg)
+    # pairs in the batch (callers passing literals pay for one group)
+    cl = closed.fillna(True).astype(bool).to_numpy()
+    sg = segments.fillna(-1).astype("int64").to_numpy()
+    out_arr = np.empty(len(ids), dtype=object)
+    for key in {(bool(c), int(s)) for c, s in zip(cl, sg)}:
+        m = (cl == key[0]) & (sg == key[1])
+        seg_v = key[1] if key[1] > 0 else None
+        rings = cells.cell_to_boundary_batch(ids[m], closed_ring=key[0], segments=seg_v)
+        for i, r in zip(np.nonzero(m)[0], rings):
+            out_arr[i] = r.tolist()
+    out = pd.Series(out_arr)
     out[na.to_numpy()] = None
     return out
 
 
 @pandas_udf(BooleanType())
 def _is_valid_i64_udf(cell: pd.Series) -> pd.Series:
-    ids = cell.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    ids = _ids_i64(cell)
     return pd.Series(bits.is_valid_i64(ids))
 
 

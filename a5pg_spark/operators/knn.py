@@ -35,7 +35,7 @@ def _clearance_m(prefix: pd.Series, qlon: pd.Series, qlat: pd.Series) -> pd.Seri
     """Conservative lower bound (meters) on the distance from each query to
     its prefix-cell boundary: min distance to densified boundary samples
     minus half the largest inter-sample gap."""
-    ids = prefix.to_numpy(dtype="float64", na_value=0).astype(np.int64)
+    ids = prefix.fillna(0).astype("int64").to_numpy()  # no float64 intermediate (>53-bit ids)
     lo = qlon.to_numpy(dtype=np.float64)
     la = qlat.to_numpy(dtype=np.float64)
     rings = _cells.cell_to_boundary_batch(ids, closed_ring=True,

@@ -54,7 +54,8 @@ def stopword_ratio(text_col: str, lang: str = "en") -> F.Column:
 
 def langid_col(text_col: str) -> F.Column:
     """Heuristic language id: most stopword hits wins (argmax via array_max
-    over (score, lang) structs — deterministic tie-break by lang desc)."""
+    over (score, lang) structs — on equal scores the lexicographically
+    *greatest* lang code wins, e.g. 'it' beats 'en')."""
     toks = tokens_col(text_col)
     scored = [
         F.struct(

@@ -128,3 +128,40 @@ class TestAreas:
         cs = areas.res0_cells()
         assert len(cs) == 12
         assert WORLD0 in set(int(c) for c in cs)
+
+
+class TestRound2Fixes:
+    """Regression tests for the round-1 ADVICE items."""
+
+    def test_parent_at_own_res0_is_identity(self):
+        # a res-0 cell's origin field is the FACE id; parent(cell, 0) must not
+        # divide it by 5 (face 3 -> face 0 was the round-1 bug)
+        for face in range(12):
+            c = bits.encode_components(face, 0, 0)
+            assert bits.parent_of(c, 0) == c
+
+    def test_res0_contains_self(self):
+        for face in range(12):
+            c = np.array([bits.encode_components(face, 0, 0)])
+            assert bits.cell_contains(c, c)[0]
+
+    def test_res1_children_of_low_faces_refused(self):
+        import pytest
+        for face in (0, 1, 2):
+            c = bits.encode_components(face, 0, 0)
+            with pytest.raises(ValueError, match="unrepresentable"):
+                bits.cell_to_children(c, 1)
+        # faces >= 3 are fine (quintants 15+)
+        kids = bits.cell_to_children(bits.encode_components(3, 0, 0), 1)
+        assert len(kids) == 5
+
+    def test_deep_res_ids_survive_int64_exactly(self):
+        # ids with > 53 significant bits must not pass through float64
+        from a5pg_spark.core import cells as C
+        c28 = C.lonlat_to_cell(
+            np.array([-73.9857]), np.array([40.758]), np.array([28])
+        )[0]
+        assert bits.res_of(int(c28)) == 28
+        lon, lat = C.cell_to_lonlat(np.array([c28]))
+        rt = C.lonlat_to_cell(lon, lat, np.array([28]))[0]
+        assert int(rt) == int(c28)
