@@ -344,14 +344,21 @@ def oracle_sql() -> dict[str, str]:
 # -- operator-backed queries (DataFrame programs, not single SQL) ------------
 
 def _q_compact_roundtrip(spark, sf_dir):
-    """compact(uncompact(X)) == X — exercises the iterative set-compaction
-    operator; exact oracle = the synthetic cells themselves."""
+    """compact(uncompact(X)) == X — exercised through BOTH surfaces: the
+    SQL-registered array functions (a5_compact/a5_uncompact, verbatim
+    reference signatures src/lib.rs:189-222) feed the column-level iterative
+    set-compaction operator; exact oracle = the synthetic cells themselves."""
     _prep(spark, sf_dir)
-    from a5pg_spark.operators.compaction import compact_cells, uncompact_cells
+    from a5pg_spark.operators.compaction import compact_cells
 
-    base = spark.sql("SELECT a5_synth_cell(r_regionkey + 1, 2) AS cell FROM region")
-    expanded = uncompact_cells(base, target_res=4)
-    import pyspark.sql.functions as F
+    # array-level: uncompact each seed via the SQL function, explode to a
+    # cell column (materialized subquery — SQL UDFs may not sit under explode)
+    expanded = spark.sql("""
+        SELECT explode(kids) AS cell FROM (
+          SELECT a5_uncompact(array(a5_synth_cell(r_regionkey + 1, 2)), 4) AS kids
+          FROM region
+        )
+    """)
     return compact_cells(expanded).orderBy("cell")
 
 
@@ -466,8 +473,38 @@ def _q_images_tiling(spark, sf_dir):
     ).orderBy("mosaic_cell")
 
 
+def _q_geojson_export(spark, sf_dir):
+    """Geometry output surface (a5_cell_to_geom parity): WKT + GeoJSON per
+    cell plus the FeatureCollection export stage of
+    tests/elephant_a5_cells.sql:116-134.  Projection math — rows-only check;
+    exact string/structure laws live in pytest."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.geojson import feature_collection
+
+    cells = spark.sql("""
+        SELECT r_regionkey AS rid,
+               a5_synth_cell(r_regionkey + 3, 6) AS cell,
+               a5_cell_to_wkt(a5_synth_cell(r_regionkey + 3, 6)) AS wkt,
+               a5_cell_to_geojson(a5_synth_cell(r_regionkey + 3, 6), 6) AS geojson
+        FROM region
+    """)
+    fc = feature_collection(
+        cells.select("rid", "cell"), cell_col="cell", props=["rid"],
+        digits=6, order_by=["rid"],
+    ).select(F.length("geojson").alias("fc_len"))
+    return (
+        cells.select("rid", "cell", F.length("wkt").alias("wkt_len"),
+                     F.substring("geojson", 1, 40).alias("geojson_prefix"))
+        .crossJoin(fc)
+        .orderBy("rid")
+    )
+
+
 _OPERATOR_QUERIES = {
     "a5_compact_roundtrip": _q_compact_roundtrip,
+    "a5_geojson_export": _q_geojson_export,
     "spatial_join_elephant": _q_spatial_join_elephant,
     "knn_probe_cities": _q_knn_points,
     "dedup_minhash_pairs": _q_dedup_minhash,

@@ -121,6 +121,44 @@ def duckdb_sql_bodies() -> dict:
     return out
 
 
+# Registered after the pandas UDFs (they reference them).  DEFAULT parameters
+# let reference SQL port verbatim: a5_cell_to_boundary(id) / (id, closed) /
+# (id, closed, segments) all resolve (the reference overloads these arities,
+# sql/a5pg--0.6.1.sql).
+SQL_BODIES_POST = {
+    "a5_cell_to_boundary": (
+        "(id BIGINT, closed_ring BOOLEAN DEFAULT TRUE, segments INT DEFAULT -1) "
+        "RETURNS ARRAY<ARRAY<DOUBLE>> RETURN a5_cell_to_boundary_impl(id, closed_ring, segments)"
+    ),
+    # a5_cell_to_geom (sql/a5pg--0.6.1.sql:90-117) returns a PostGIS geometry;
+    # this engine carries no geometry type, so the geometry VALUE is its
+    # serialized form: WKT (ST_AsText parity) and GeoJSON (ST_AsGeoJSON
+    # parity); a5_cell_to_geom aliases the GeoJSON form.
+    "a5_cell_to_wkt": (
+        "(id BIGINT) RETURNS STRING RETURN "
+        "concat('POLYGON((', array_join(transform(a5_cell_to_boundary_impl(id, TRUE, -1), "
+        "p -> concat(CAST(p[0] AS STRING), ' ', CAST(p[1] AS STRING))), ','), '))')"
+    ),
+    # round(x, d) needs a foldable scale inside SQL UDFs — use mul/round/div
+    "a5_cell_to_geojson": (
+        "(id BIGINT, digits INT DEFAULT 9) RETURNS STRING RETURN "
+        "concat('{\"type\":\"Polygon\",\"coordinates\":[[', "
+        "array_join(transform(a5_cell_to_boundary_impl(id, TRUE, -1), "
+        "p -> concat('[', CAST(round(p[0] * power(10, digits)) / power(10, digits) AS STRING), "
+        "',', CAST(round(p[1] * power(10, digits)) / power(10, digits) AS STRING), ']')), ','), "
+        "']]}')"
+    ),
+    "a5_cell_to_geom": (
+        "(id BIGINT) RETURNS STRING RETURN a5_cell_to_geojson(id, 9)"
+    ),
+    "a5pg_version": ("() RETURNS STRING RETURN '0.1.0'"),
+    "a5pg_info": (
+        "() RETURNS STRING RETURN "
+        "to_json(named_struct('a5pg_spark_version', '0.1.0', 'a5_compat', '0.6.1'))"
+    ),
+}
+
+
 def register(spark: SparkSession) -> None:
     """Register the full A5 function surface (SQL UDFs + pandas UDFs)."""
     for name, body in SQL_BODIES.items():
@@ -129,8 +167,12 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("a5_cell_to_lonlat", _cell_to_lonlat_udf)
     spark.udf.register("a5_cell_to_lon", _cell_to_lon_udf)
     spark.udf.register("a5_cell_to_lat", _cell_to_lat_udf)
-    spark.udf.register("a5_cell_to_boundary", _cell_to_boundary_udf)
+    spark.udf.register("a5_cell_to_boundary_impl", _cell_to_boundary_udf)
     spark.udf.register("a5_is_valid_i64", _is_valid_i64_udf)
+    spark.udf.register("a5_compact", _compact_udf)
+    spark.udf.register("a5_uncompact", _uncompact_udf)
+    for name, body in SQL_BODIES_POST.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +269,37 @@ def _cell_to_boundary_udf(
 def _is_valid_i64_udf(cell: pd.Series) -> pd.Series:
     ids = _ids_i64(cell)
     return pd.Series(bits.is_valid_i64(ids))
+
+
+@pandas_udf(ArrayType(LongType()))
+def _uncompact_udf(arr: pd.Series, target_res: pd.Series) -> pd.Series:
+    """Array-valued ``a5_uncompact`` (verbatim signature of src/lib.rs:207-222).
+
+    A SQL-UDF body can't call another SQL UDF on a lambda variable (Spark
+    analyzer limitation), so this is an Arrow UDF over the NumPy kernel; the
+    scalable column-level form is operators/compaction.uncompact_cells."""
+    out = []
+    for v, tr in zip(arr, target_res):
+        if v is None or tr is None:
+            out.append(None)
+        else:
+            out.append([int(c) for c in bits.uncompact(np.asarray(v, dtype=np.int64), int(tr))])
+    return pd.Series(out)
+
+
+@pandas_udf(ArrayType(LongType()))
+def _compact_udf(arr: pd.Series) -> pd.Series:
+    """Array-valued ``a5_compact`` (verbatim signature of src/lib.rs:189-204).
+
+    The reference's compact is an array scalar — arrays are small by usage;
+    column-level compaction at scale lives in operators/compaction.py."""
+    out = []
+    for v in arr:
+        if v is None:
+            out.append(None)
+        else:
+            out.append([int(c) for c in bits.compact(np.asarray(v, dtype=np.int64))])
+    return pd.Series(out)
 
 
 # ---------------------------------------------------------------------------

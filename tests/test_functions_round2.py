@@ -59,3 +59,57 @@ def test_sql_parent_res0_identity(spark):
     c = spark.sql("SELECT a5_cell_to_parent(a5_lonlat_to_cell(0.0d, 0.0d, 0), 0) AS p").first()["p"]
     w = spark.sql("SELECT a5_lonlat_to_cell(0.0d, 0.0d, 0) AS c").first()["c"]
     assert c == w
+
+
+def test_geometry_output_surface(spark):
+    """a5_cell_to_wkt / a5_cell_to_geojson / a5_cell_to_geom SQL functions and
+    the FeatureCollection export (reference elephant_a5_cells.sql:116-134)."""
+    import json
+
+    r = spark.sql("""
+        SELECT a5_cell_to_wkt(a5_lonlat_to_cell(-73.9857d, 40.758d, 10)) AS wkt,
+               a5_cell_to_geojson(a5_lonlat_to_cell(-73.9857d, 40.758d, 10), 6) AS gj,
+               a5_cell_to_geom(a5_lonlat_to_cell(-73.9857d, 40.758d, 10)) AS geom,
+               a5pg_version() AS ver, a5pg_info() AS info
+    """).first()
+    assert r["wkt"].startswith("POLYGON((") and r["wkt"].endswith("))")
+    gj = json.loads(r["gj"])
+    assert gj["type"] == "Polygon"
+    ring = gj["coordinates"][0]
+    assert ring[0] == ring[-1]          # closed
+    assert len(ring) >= 4
+    assert json.loads(r["geom"])["type"] == "Polygon"
+    assert r["ver"] == "0.1.0"
+    assert json.loads(r["info"])["a5_compat"] == "0.6.1"
+    # WKT vertices match the GeoJSON ring (WKT carries full precision)
+    wkt_ring = [
+        [float(v) for v in pt.split(" ")]
+        for pt in r["wkt"][len("POLYGON(("):-2].split(",")
+    ]
+    assert len(wkt_ring) == len(ring)
+
+    # FeatureCollection export
+    from a5pg_spark.operators.geojson import feature_collection
+
+    cells = spark.sql(
+        "SELECT id, a5_synth_cell(id, 8) AS cell FROM range(5) AS t(id)"
+    )
+    fc = json.loads(
+        feature_collection(cells, props=["id"], order_by=["id"]).first()["geojson"]
+    )
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 5
+    assert [f["properties"]["id"] for f in fc["features"]] == list(range(5))
+    assert all(f["geometry"]["type"] == "Polygon" for f in fc["features"])
+
+
+def test_sql_compact_uncompact_arrays(spark):
+    """Array-valued a5_compact/a5_uncompact (src/lib.rs:189-222 signatures)."""
+    r = spark.sql("""
+        WITH seed AS (SELECT a5_synth_cell(7, 3) AS c)
+        SELECT c,
+               a5_uncompact(array(c), 5) AS kids,
+               a5_compact(a5_uncompact(array(c), 5)) AS back
+        FROM seed
+    """).first()
+    assert len(r["kids"]) == 16
+    assert r["back"] == [r["c"]]
