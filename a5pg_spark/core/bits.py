@@ -142,9 +142,15 @@ def cell_to_children(cell: int, target_res: int) -> np.ndarray:
         bases = (quintants << _U58) | (_U1 << np.uint64(57))
         if target_res == 1:
             return _as_i64(bases)
-        return np.concatenate(
-            [cell_to_children(int(_as_i64(np.array([b]))[0]), target_res) for b in bases]
-        )
+        # build descendants directly from the quintant origins — recursing
+        # through res-1 ids would hit the res-0/1 alias for faces 0-2
+        # (quintants 0-11 decode as res-0 faces) and never terminate
+        pt = np.uint64(59 - 2 * target_res)
+        s = np.arange(1 << (2 * (target_res - 1)), dtype=np.uint64)
+        kids = (
+            (quintants[:, None] << _U58) | (s[None, :] << (pt + _U1)) | (_U1 << pt)
+        ).ravel()
+        return _as_i64(kids)
     if target_res == res:
         return np.array([cell], dtype=np.int64)
     delta = target_res - res

@@ -64,23 +64,168 @@ EDGE_TYPE = ArrayType(
 )
 
 
+def _segments_cross(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Inclusive segment-intersection matrix: A (n,4) × B (m,4) → (n,) any-hit.
+
+    Touching/collinear contact counts as a hit — conservative for interior
+    classification (a touched cell is demoted to ``boundary`` and refined
+    exactly per point)."""
+    if len(A) == 0 or len(B) == 0:
+        return np.zeros(len(A), dtype=bool)
+    ax1, ay1, ax2, ay2 = (A[:, i][:, None] for i in range(4))
+    bx1, by1, bx2, by2 = (B[:, i][None, :] for i in range(4))
+
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    proper = ((d1 * d2) < 0) & ((d3 * d4) < 0)
+    # collinear / endpoint touches (inclusive)
+    def on_seg(px, py, qx, qy, rx, ry, d):
+        return (
+            (d == 0)
+            & (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
+            & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+        )
+    touch = (
+        on_seg(ax1, ay1, ax2, ay2, bx1, by1, d1)
+        | on_seg(ax1, ay1, ax2, ay2, bx2, by2, d2)
+        | on_seg(bx1, by1, bx2, by2, ax1, ay1, d3)
+        | on_seg(bx1, by1, bx2, by2, ax2, ay2, d4)
+    )
+    return (proper | touch).any(axis=1)
+
+
+def _classify_cells(cell_ids: np.ndarray, poly: list, edges: np.ndarray,
+                    poly_pts: np.ndarray, segments: int,
+                    lon_center: float | None = None):
+    """Exact cell-vs-polygon classification → (intersects, interior) masks.
+
+    cell ⊆ polygon  ⇔ all ring vertices inside ∧ no edge crossing ∧ no
+                       polygon vertex strictly inside the cell
+    cell ∩ polygon ≠ ∅ ⇔ any ring vertex inside ∨ any edge crossing ∨ any
+                       polygon vertex inside the cell
+    (cell edges are the projected ring chords; see module docstring)."""
+    n = len(cell_ids)
+    rings = _cells.cell_to_boundary_batch(cell_ids, closed_ring=False, segments=segments)
+    k = rings[0].shape[0]
+    allv = np.concatenate(rings, axis=0)
+    if lon_center is not None:
+        allv = allv.copy()
+        allv[:, 0] = np.mod(allv[:, 0] - lon_center + 180.0, 360.0) + lon_center - 180.0
+    vin = G.point_in_polygon(allv[:, 0], allv[:, 1], poly).reshape(n, k)
+    vin_all = vin.all(axis=1)
+    vin_any = vin.any(axis=1)
+
+    # cell edges (n*k, 4) — closed ring chords
+    starts = allv.reshape(n, k, 2)
+    ends = np.roll(starts, -1, axis=1)
+    cell_edges = np.concatenate([starts, ends], axis=2).reshape(n * k, 4)
+    cross = _segments_cross(cell_edges, edges).reshape(n, k).any(axis=1)
+
+    # any polygon vertex inside a cell (bbox prefilter, then per-cell PIP)
+    pv_in = np.zeros(n, dtype=bool)
+    bmin = starts.min(axis=1)
+    bmax = starts.max(axis=1)
+    for i in range(n):
+        m = (
+            (poly_pts[:, 0] >= bmin[i, 0]) & (poly_pts[:, 0] <= bmax[i, 0])
+            & (poly_pts[:, 1] >= bmin[i, 1]) & (poly_pts[:, 1] <= bmax[i, 1])
+        )
+        if m.any():
+            pv_in[i] = bool(
+                G.point_in_ring(poly_pts[m, 0], poly_pts[m, 1], starts[i]).any()
+            )
+    interior = vin_all & ~cross & ~pv_in
+    intersects = vin_any | cross | pv_in
+    return intersects, interior
+
+
+def exact_cover_cells(poly: list, res: int) -> tuple:
+    """Exact covering cell set of one GeoJSON polygon (list of rings) at
+    ``res`` → (cells, interior_mask).  Hierarchical descent from res 2:
+    fully-inside cells stop subdividing (their descendants are inside — our
+    triangle cells nest exactly, DESIGN.md §4); boundary cells descend.
+    Cost is O(perimeter / cell_width) exact tests, not O(area)."""
+    from ..core import bits as B
+    from ..core.areas import res0_cells
+
+    from ..core.areas import cell_area
+
+    rings = [np.asarray(r, dtype=np.float64) for r in poly]
+    E = []
+    for r in rings:
+        a, b = r, np.roll(r, -1, axis=0)
+        m = ~((a[:, 0] == b[:, 0]) & (a[:, 1] == b[:, 1]))
+        E.append(np.concatenate([a[m], b[m]], axis=1))
+    edges = np.concatenate(E, axis=0)
+    poly_pts = np.concatenate(rings, axis=0)
+
+    # spherical prefilter state: lon/lat planar tests are meaningless for
+    # cells on the far side of the globe (antimeridian wrap turns their rings
+    # into map-spanning slivers) — reject by angular distance first
+    pc_lon, pc_lat = poly_pts[:, 0].mean(), poly_pts[:, 1].mean()
+    prad = G.haversine_np(
+        poly_pts[:, 0], poly_pts[:, 1], np.full(len(poly_pts), pc_lon),
+        np.full(len(poly_pts), pc_lat)
+    ).max()
+
+    def _near(cell_ids: np.ndarray, r: int) -> np.ndarray:
+        lon, lat = _cells.cell_to_lonlat(cell_ids)
+        d = G.haversine_np(lon, lat, np.full(len(lon), pc_lon), np.full(len(lon), pc_lat))
+        circum = 2.0 * np.sqrt(cell_area(r))  # generous cell circumdiameter, m
+        return d <= prad + 1.5 * circum
+
+    cur = np.concatenate([B.cell_to_children(int(c), 2) for c in res0_cells()])
+    out_cells, out_int = [], []
+    for r in range(2, res + 1):
+        cur = cur[_near(cur, r)]
+        if len(cur) == 0:
+            break
+        segs = max(1, min(8, 2 ** max(0, 6 - r)))  # denser chords at low res
+        intersects, interior = _classify_cells(
+            cur, poly, edges, poly_pts, segs, lon_center=pc_lon
+        )
+        inner = cur[interior]
+        if len(inner):
+            expanded = B.uncompact(inner, res) if r < res else inner
+            out_cells.append(expanded)
+            out_int.append(np.ones(len(expanded), dtype=bool))
+        bnd = cur[intersects & ~interior]
+        if r == res:
+            out_cells.append(bnd)
+            out_int.append(np.zeros(len(bnd), dtype=bool))
+            break
+        cur = B.uncompact(bnd, r + 1)
+        if len(cur) == 0:
+            break
+    if not out_cells:
+        return np.array([], dtype=np.int64), np.array([], dtype=bool)
+    return np.concatenate(out_cells), np.concatenate(out_int)
+
+
+# (geom_json, res) → cover pandas DataFrame; covers are polygon-layer-sized
+# (the small dimension side) and reused across spatial_join calls — the ~4 s
+# per-call cover cost measured in round 1 is paid once per layer now.
+_COVER_CACHE: dict = {}
+
+
 def polygon_cover(
     polygons: DataFrame, res: int, segment_deg: float | None = None,
     grid_n: int | None = None,
 ) -> DataFrame:
     """(part, geom_json) → (part, cell, interior) covering cells at ``res``.
 
-    Sampling mirrors the reference's deterministic strategies (boundary
-    segmentize + bbox grid + vertices), with density tied to the cell size —
-    a fixed 51×51 grid (the reference's choice) misses interior cells
-    whenever grid spacing exceeds the cell width.  A cell is ``interior``
-    when every vertex of its boundary ring passes the PIP test.
+    EXACT (round 2): hierarchical descent with cell-vs-polygon intersection
+    tests (vertex PIP + inclusive segment crossing + polygon-vertex-in-cell)
+    replaces round 1's point sampling, which missed cells whose polygon
+    overlap was smaller than the sampling density and accepted concave-edge
+    false positives.  ``segment_deg``/``grid_n`` are kept for API
+    compatibility and ignored.
     """
-    from ..core.areas import cell_area
-
-    # approximate cell width in degrees at this resolution (equal-area cells)
-    cell_w_deg = float(np.sqrt(cell_area(res)) / 111_000.0)
-    seg = segment_deg if segment_deg is not None else max(cell_w_deg / 3.0, 1e-6)
 
     def cover_one(pdf: pd.DataFrame) -> pd.DataFrame:
         out_part, out_cell, out_int = [], [], []
@@ -94,28 +239,15 @@ def polygon_cover(
                 continue
             polys = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
             for poly in polys:
-                outer = np.asarray(poly[0], dtype=np.float64)
-                if grid_n is None:
-                    span = float(
-                        max(outer[:, 0].ptp(), outer[:, 1].ptp(), 1e-9)
-                    )
-                    n_grid = int(np.clip(np.ceil(span / (0.4 * cell_w_deg)), 50, 4000))
-                else:
-                    n_grid = grid_n
-                pts = [
-                    G.segmentize_ring(outer, seg),
-                    G.bbox_grid_points(poly, n_grid),
-                    outer,
-                ]
-                pts = np.concatenate([p for p in pts if len(p)], axis=0)
-                ids = _cells.lonlat_to_cell(pts[:, 0], pts[:, 1], res)
-                uniq = np.unique(ids)
-                rings = _cells.cell_to_boundary_batch(uniq, closed_ring=False, segments=1)
-                for cid, ring in zip(uniq, rings):
-                    inside = G.point_in_polygon(ring[:, 0], ring[:, 1], poly)
-                    out_part.append(part)
-                    out_cell.append(int(cid))
-                    out_int.append(bool(inside.all()))
+                key = (row.geom_json, json.dumps(poly[0][0]), res)
+                hit = _COVER_CACHE.get(key)
+                if hit is None:
+                    hit = exact_cover_cells(poly, res)
+                    _COVER_CACHE[key] = hit
+                ids, interior = hit
+                out_part.extend([part] * len(ids))
+                out_cell.extend(int(c) for c in ids)
+                out_int.extend(bool(b) for b in interior)
         return pd.DataFrame({"part": out_part, "cell": out_cell, "interior": out_int})
 
     return (
@@ -186,7 +318,6 @@ def spatial_join(
     boundary cells refined by the native even-odd test (zero Python after
     the join)."""
     spark = points.sparkSession
-    cover = polygon_cover(polygons, res)
     edges_schema = StructType(
         [
             StructField("part", StringType()),
@@ -196,15 +327,30 @@ def spatial_join(
             StructField("py", DoubleType()),
         ]
     )
-    edges_df = spark.createDataFrame(_edge_rows(polygons), edges_schema)
-    cover_full = cover.join(edges_df, "part")
+    edge_rows = _edge_rows(polygons)
+    edges_df = spark.createDataFrame(edge_rows, edges_schema)
     if broadcast_cover:
-        # materialize: broadcasting the applyInPandas plan would re-run its
-        # Python stage inside the broadcast exchange (slow) — a local-relation
-        # broadcast is instant
+        # materialize + driver-cache the cover keyed by (polygon layer, res):
+        # the cover is the small dimension side; recomputing it per call was
+        # round 1's dominant fixed cost (~4 s).  Broadcasting a raw
+        # applyInPandas plan would also re-run its Python stage inside the
+        # broadcast exchange.
+        key = (tuple(sorted((r[0], len(r[1]), r[3], r[4]) for r in edge_rows)),
+               json.dumps(sorted(x.geom_json for x in polygons.select("geom_json").collect())),
+               res)
+        cover_pd = _COVER_CACHE.get(("materialized",) + key)
+        if cover_pd is None:
+            cover_pd = polygon_cover(polygons, res).toPandas()
+            _COVER_CACHE[("materialized",) + key] = cover_pd
+        cover = spark.createDataFrame(cover_pd, COVER_SCHEMA)
         cover_full = F.broadcast(
-            spark.createDataFrame(cover_full.toPandas(), cover_full.schema)
+            spark.createDataFrame(
+                cover.join(edges_df, "part").toPandas(),
+                StructType(COVER_SCHEMA.fields + edges_schema.fields[1:]),
+            )
         )
+    else:
+        cover_full = polygon_cover(polygons, res).join(edges_df, "part")
 
     pts = points.withColumn(
         "__cell", a5_lonlat_to_cell(F.col(lon_col), F.col(lat_col), res)
