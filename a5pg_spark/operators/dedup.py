@@ -76,16 +76,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     sig = minhash_signature(df, text_col, num_hashes, shingle_k).select(
         id_col, text_col, "minhash"
     )
+    # band self-join on ids ONLY — round 1 carried the full document text
+    # through this shuffle; at 100 TB that ships text pairs for every band
+    # collision.  Candidates are (id_a, id_b); shingle sets are joined back by
+    # id afterwards (and computed once, not twice per pair).
     banded = sig.select(
         id_col,
-        text_col,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
                 f"struct(b AS band_id, xxhash64(to_json(struct(slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))) AS band_hash))"
             )
         ).alias("band"),
-    ).select(id_col, text_col, "band.band_id", "band.band_hash")
+    ).select(id_col, "band.band_id", "band.band_hash")
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -99,16 +102,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{text_col}").alias("text_a"),
-            F.col(f"r.{text_col}").alias("text_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact Jaccard on shingle sets — native array ops
-    sh_a = _shingles("text_a", shingle_k)
-    sh_b = _shingles("text_b", shingle_k)
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    # exact Jaccard on shingle sets, joined back by id (candidate rows only)
+    sh = df.select(
+        F.col(id_col), _shingles(text_col, shingle_k).alias("__sh")
+    )
+    cand = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
         cand.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)

@@ -64,18 +64,32 @@ def knn_join(
         F.col("lon").alias("qlon"),
         F.col("lat").alias("qlat"),
         a5_lonlat_to_cell(F.col("lon"), F.col("lat"), res).alias("qcell"),
-    )
+    ).persist()
+    # persist the encoded point side: each escalation round re-derives only
+    # the cheap bit-math prefix — round 1 re-ran the Arrow encode UDF over
+    # the full point table once per round
     p = points.select(
         point_id,
         F.col("lon").alias("plon"),
         F.col("lat").alias("plat"),
         a5_lonlat_to_cell(F.col("lon"), F.col("lat"), res).alias("pcell"),
-    )
+    ).persist()
+
+    # escalation ladder: the configured deltas, then one final coarse round at
+    # res 2 (clearance bounds need target >= 2 — res-1 quintants 0-11 alias
+    # res-0 faces and would overestimate clearance) before conceding to the
+    # exact global fallback
+    targets = []
+    for delta in deltas:
+        t = max(2, res - delta)
+        if t not in targets:
+            targets.append(t)
+    if 2 not in targets:
+        targets.append(2)
 
     result = None
     remaining = q
-    for delta in deltas:
-        target = max(1, res - delta)
+    for target in targets:
         qe = remaining.withColumn(
             "prefix",
             F.call_function("a5_cell_to_parent", F.col("qcell"), F.lit(target)),
@@ -101,7 +115,11 @@ def knn_join(
             query_id, point_id, "dist_m", "rk"
         )
         result = done if result is None else result.unionByName(done)
-        remaining = remaining.join(F.broadcast(done_ids), query_id, "left_anti")
+        # localCheckpoint cuts the growing anti-join lineage: each round's
+        # remaining is materialized once instead of recomputed per reference
+        remaining = remaining.join(
+            F.broadcast(done_ids), query_id, "left_anti"
+        ).localCheckpoint(eager=True)
         if remaining.isEmpty():
             return result
     # exact global fallback for still-unsatisfied queries

@@ -80,23 +80,48 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding", planes: int = 16,
     return df.withColumn(out_col, bucket(F.col(vec_col)))
 
 
+def srp_buckets_all(df: DataFrame, vec_col: str, planes: int, tables: int,
+                    seed: int, out_col: str = "__tb") -> DataFrame:
+    """Explode each row into ``tables`` bucket keys computed in ONE matmul:
+    key = table_index * 2^planes + bucket.  One corpus scan serves every
+    table (round 1 scanned the corpus once per table)."""
+    spark = df.sparkSession
+    dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first().d)
+    P = np.concatenate(
+        [_srp_planes(dim, planes, seed + t) for t in range(tables)], axis=1
+    )  # (dim, tables*planes)
+    bc = spark.sparkContext.broadcast(P)
+
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        proj = M @ bc.value                       # (n, tables*planes)
+        bits = (proj > 0).astype(np.uint64).reshape(len(M), tables, planes)
+        ids = (bits << np.arange(planes, dtype=np.uint64)[None, None, :]).sum(axis=2)
+        ids = ids + (np.arange(tables, dtype=np.uint64)[None, :] << np.uint64(planes))
+        return pd.Series(list(ids.view(np.int64)))
+
+    return df.withColumn(out_col, F.explode(buckets(F.col(vec_col))))
+
+
 def srp_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
                  qid: str = "qid", cid: str = "vec_id",
                  qvec: str = "qe", cvec: str = "embedding",
                  planes: int = 12, tables: int = 4, seed: int = 11) -> DataFrame:
-    """Approximate top-k: union of ``tables`` independent SRP bucket joins,
-    exact cosine rank within candidates.  Each table is a plain equi-join on
-    the bucket id — broadcastable/AQE-skew-splittable at scale."""
-    results = None
-    for t in range(tables):
-        qb = srp_bucket(queries, qvec, planes, seed + t, "__b")
-        cb = srp_bucket(corpus, cvec, planes, seed + t, "__b")
-        cand = qb.join(cb, "__b").filter(F.col(qid) != F.col(cid)).select(
-            qid, cid, qvec, cvec
-        )
-        results = cand if results is None else results.unionByName(cand)
-    cand = results.dropDuplicates([qid, cid]).withColumn(
-        "cos_sim", cosine_sim_col(qvec, cvec)
+    """Approximate top-k: ``tables`` independent SRP tables in a SINGLE pass
+    per side (all buckets from one matmul, exploded with a table tag), one
+    equi-join on the tagged bucket, exact cosine rank within candidates.
+    The join is broadcastable/AQE-skew-splittable at scale."""
+    qb = srp_buckets_all(queries, qvec, planes, tables, seed)
+    cb = srp_buckets_all(corpus, cvec, planes, tables, seed)
+    cand = (
+        qb.join(cb, "__tb")
+        .filter(F.col(qid) != F.col(cid))
+        .select(qid, cid, qvec, cvec)
+        .dropDuplicates([qid, cid])
+        .withColumn("cos_sim", cosine_sim_col(qvec, cvec))
     )
     w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
     return (
