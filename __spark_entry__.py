@@ -151,11 +151,17 @@ ORACLES_SQL["a5_parent_rollup"] = f"""
 
 # 3. children expansion (4^Δ law as data): res-3 cells of orders → res-5
 QUERIES_SQL["a5_children_expand"] = """
-    SELECT child AS cell, COUNT(*) AS n
-    FROM (SELECT explode(kids) AS child FROM
-          (SELECT a5_cell_to_children(a5_synth_cell(o_orderkey, 3), 5) AS kids FROM orders))
+    SELECT child AS cell, CAST(SUM(n) AS BIGINT) AS n
+    FROM (SELECT explode(kids) AS child, n FROM
+          (SELECT a5_cell_to_children(c3, 5) AS kids, n FROM
+           (SELECT a5_synth_cell(o_orderkey, 3) AS c3, COUNT(*) AS n
+            FROM orders GROUP BY 1)))
     GROUP BY 1 ORDER BY cell
 """
+# NOTE: aggregation is pushed BELOW the explode (children are deterministic
+# per parent, so exploding pre-counted parents is algebraically identical to
+# counting exploded rows) — the naive shape shuffles 16x the input; the
+# DuckDB oracle below still computes it naively and must hash-match.
 ORACLES_SQL["a5_children_expand"] = f"""
     WITH base AS (SELECT {_synth_duck('o_orderkey', 3)} AS c FROM orders),
     kids AS (
@@ -502,9 +508,31 @@ def _q_geojson_export(spark, sf_dir):
     )
 
 
+def _q_dissolve_export(spark, sf_dir):
+    """Dissolve (polygon-union export): elephant cover cells per part →
+    union rings (the reference's elephant_cells_union_per_part.geojson
+    stage).  Rows-only check; union-area law asserted in pytest."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.dissolve import dissolve
+    from a5pg_spark.operators.spatial_join import polygon_cover
+    from a5pg_spark.sources import polygons as P
+
+    polys = P.from_feature_collection(spark, P.elephant_feature_collection())
+    cover = polygon_cover(polys, res=8)
+    out = dissolve(cover, part_col="part", cell_col="cell")
+    return out.select(
+        "part",
+        F.length("geom_json").alias("geom_chars"),
+        F.get_json_object("geom_json", "$.type").alias("geom_type"),
+    ).orderBy("part")
+
+
 _OPERATOR_QUERIES = {
     "a5_compact_roundtrip": _q_compact_roundtrip,
     "a5_geojson_export": _q_geojson_export,
+    "a5_dissolve_export": _q_dissolve_export,
     "spatial_join_elephant": _q_spatial_join_elephant,
     "knn_probe_cities": _q_knn_points,
     "dedup_minhash_pairs": _q_dedup_minhash,

@@ -59,20 +59,22 @@ def knn_join(
 ) -> DataFrame:
     """For each query (qid, lon, lat) return its exact k nearest points
     (pid, lon, lat) by great-circle distance."""
-    q = queries.select(
-        query_id,
-        F.col("lon").alias("qlon"),
-        F.col("lat").alias("qlat"),
-        a5_lonlat_to_cell(F.col("lon"), F.col("lat"), res).alias("qcell"),
+    from ..functions_native import encode_native
+
+    q = encode_native(
+        queries.select(
+            query_id, F.col("lon").alias("qlon"), F.col("lat").alias("qlat")
+        ),
+        "qlon", "qlat", res, "qcell",
     ).persist()
     # persist the encoded point side: each escalation round re-derives only
-    # the cheap bit-math prefix — round 1 re-ran the Arrow encode UDF over
-    # the full point table once per round
-    p = points.select(
-        point_id,
-        F.col("lon").alias("plon"),
-        F.col("lat").alias("plat"),
-        a5_lonlat_to_cell(F.col("lon"), F.col("lat"), res).alias("pcell"),
+    # the cheap bit-math prefix (round 1 re-ran the encode over the full
+    # point table once per round); encode is JVM-native (functions_native)
+    p = encode_native(
+        points.select(
+            point_id, F.col("lon").alias("plon"), F.col("lat").alias("plat")
+        ),
+        "plon", "plat", res, "pcell",
     ).persist()
 
     # escalation ladder: the configured deltas, then one final coarse round at

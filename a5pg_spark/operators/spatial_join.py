@@ -352,9 +352,11 @@ def spatial_join(
     else:
         cover_full = polygon_cover(polygons, res).join(edges_df, "part")
 
-    pts = points.withColumn(
-        "__cell", a5_lonlat_to_cell(F.col(lon_col), F.col(lat_col), res)
-    )
+    # JVM-native encode on the big side: no Python workers in the probe path
+    # (functions_native.py — bit-exact vs the Arrow-UDF kernel)
+    from ..functions_native import encode_native
+
+    pts = encode_native(points, lon_col, lat_col, res, "__cell")
     joined = pts.join(cover_full, pts["__cell"] == cover_full["cell"], "inner")
 
     lon = F.col(lon_col)

@@ -26,10 +26,12 @@ BENCH_QUERIES = [
     "a5_encode_points_rollup",   # Arrow UDF encode + native parent + agg
     "a5_parent_rollup",          # native bit rollup over lineitem
     "a5_contains_semijoin",      # prefix equi-join (spatial-join skeleton)
-    "a5_children_expand",        # explode fan-out
+    "a5_children_expand",        # agg-below-explode fan-out
     "rel_agg_pricing",           # scan+filter+agg
     "rel_join_segment_revenue",  # broadcast join + agg
     "embed_knn_bruteforce",      # vector similarity top-k
+    "spatial_join_elephant",     # exact cover + native PIP join (round 2)
+    "embed_ann_srp",             # single-pass multi-table SRP ANN (round 2)
 ]
 
 
@@ -56,8 +58,30 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         del rows
 
-    # throughput metric: points/sec through the full encode+rollup pipeline
+    # throughput metric: points/sec through the encode+rollup pipeline.
+    # Primary path is the JVM-native encode (functions_native.py — the shape
+    # that scales past 8 cores, see BENCH/BASELINE.md); the Arrow-UDF path is
+    # timed alongside for comparison.
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.functions_native import encode_native
+
     n_points = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n
+    pts = spark.sql(
+        """
+        SELECT ((o_orderkey * 2654435761) % 360000000) / 1e6 - 180.0 AS lon,
+               ((o_orderkey * 987654321986) % 180000000) / 1e6 - 90.0 AS lat
+        FROM orders
+        """
+    )
+    t0 = time.time()
+    (
+        encode_native(pts, "lon", "lat", 9, "cell")
+        .groupBy(F.call_function("a5_cell_to_parent", F.col("cell"), F.lit(4)).alias("p"))
+        .count().collect()
+    )
+    encode_sec = time.time() - t0
+    throughput = n_points / encode_sec if encode_sec > 0 else 0.0
     t0 = time.time()
     spark.sql(
         """
@@ -69,8 +93,7 @@ def main() -> None:
           FROM orders) GROUP BY p
         """
     ).collect()
-    encode_sec = time.time() - t0
-    throughput = n_points / encode_sec if encode_sec > 0 else 0.0
+    encode_udf_sec = time.time() - t0
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -84,6 +107,8 @@ def main() -> None:
         "encode_points": int(n_points),
         "encode_sec": round(encode_sec, 3),
         "throughput_pts_per_sec": round(throughput, 1),
+        "encode_udf_sec": round(encode_udf_sec, 3),
+        "throughput_udf_pts_per_sec": round(n_points / encode_udf_sec, 1),
     }
     spark.stop()
     print(json.dumps(result))

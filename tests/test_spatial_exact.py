@@ -77,3 +77,36 @@ def test_spatial_join_equals_bruteforce(spark):
     )
     truth = set(np.nonzero(G.point_in_polygon(gx, gy, poly))[0].astype(int).tolist())
     assert got == truth
+
+
+def test_dissolve_union(spark):
+    """Dissolving a full sibling block yields the parent's ring area; interior
+    edges cancel exactly."""
+    import json as _json
+
+    import numpy as np
+
+    from a5pg_spark.core import bits
+    from a5pg_spark.operators.dissolve import dissolve, _dissolve_cells_np
+
+    parent = bits.encode_components(19, 123, 7)
+    kids = bits.cell_to_children(parent, 9)  # 16 cells
+    rings = _dissolve_cells_np(np.asarray(kids))
+    # exact nesting => the union of 16 children is the parent triangle: 1 ring
+    assert len(rings) == 1
+
+    def area(r):
+        a = np.asarray(r)
+        return 0.5 * abs(np.sum(a[:-1, 0] * a[1:, 1] - a[1:, 0] * a[:-1, 1]))
+
+    from a5pg_spark.core import cells as C
+
+    pring = C.cell_to_boundary(parent, closed_ring=True, segments=1)
+    assert abs(area(rings[0]) - area(pring)) / area(pring) < 2e-3
+
+    # distributed path: two groups
+    rows = [("a", int(k)) for k in kids[:8]] + [("b", int(k)) for k in kids[8:]]
+    df = spark.createDataFrame(rows, "part string, cell long")
+    out = {r.part: _json.loads(r.geom_json) for r in dissolve(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert all(g["type"] == "MultiPolygon" for g in out.values())
