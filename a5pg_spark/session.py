@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # keep partition input sizes bounded for wide binary (image) columns
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # constraint propagation substitutes full alias chains into inferred
+        # join/filter constraints; with the deep native-encode expressions
+        # (functions_native.py) this explodes the optimized plan ~300×
+        # (measured: 7.4 MB plan / 199k duplicated subtrees, 388 s for a 40k-row
+        # broadcast join that runs in 0.5 s with this off)
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

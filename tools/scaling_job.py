@@ -85,16 +85,44 @@ def main():
     spatial_join.spatial_join(wpts.repartition(cores), polys, res=7).count()
     warm.unpersist()
 
+    # phase 0 — tile assignment: JVM-native encode of every capture point
+    # (functions_native.py; the 100 TB hot path, zero Python workers).
+    # Amplify the point count so the phase runs long enough to measure.
+    from a5pg_spark.functions_native import encode_native
+
+    ENC_AMP = 25
+    pts_all = (
+        I.with_capture_point(images)
+        .select("image_id", "lon", "lat")
+        .crossJoin(spark.range(ENC_AMP).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("lon") + F.col("rep") * 0.001).alias("lon"),
+            (F.col("lat") - F.col("rep") * 0.0007).alias("lat"),
+        )
+        .cache()
+    )
+    n_enc = pts_all.count()
     t0 = time.time()
+    enc_n = (
+        encode_native(pts_all, "lon", "lat", 10, "cell")
+        .groupBy(F.shiftrightunsigned(F.col("cell"), 50).alias("pfx"))
+        .count().count()
+    )
+    t_enc = time.time() - t0
+
+    # phase 1 — raster→vector tiling (mapInPandas decode: the one stage with
+    # Python workers; multimodal decode is Python-bound by design)
+    t1 = time.time()
     tiles = tiling.pixels_to_cells(images, res=13)
     mosaic_n = tiling.cell_mosaic(tiles, target_res=7).count()
-    t_tile = time.time() - t0
+    t_tile = time.time() - t1
 
-    t1 = time.time()
+    # phase 2 — point-in-polygon spatial join (native encode + native PIP)
+    t2 = time.time()
     pts = I.with_capture_point(images).select("image_id", "caption", "lon", "lat").cache()
     joined = spatial_join.spatial_join(pts, polys, res=7).cache()
     join_n = joined.count()
-    t_join = time.time() - t1
+    t_join = time.time() - t2
     # caption-equality invariant through the join (per-row payload contract)
     cap_ok = joined.filter(F.col("caption").startswith("caption for ")).count()
     wall = time.time() - t0
@@ -103,9 +131,15 @@ def main():
         "master": spark.sparkContext.master,
         "images": n_images,
         "wall_sec": round(wall, 3),
+        "encode_points": int(n_enc),
+        "encode_sec": round(t_enc, 3),
+        "encode_pts_per_sec": round(n_enc / t_enc, 1),
         "tile_sec": round(t_tile, 3),
+        "tile_images_per_sec": round(n_images / t_tile, 2),
         "join_sec": round(t_join, 3),
+        "join_images_per_sec": round(n_images / t_join, 2),
         "images_per_sec": round(n_images / wall, 2),
+        "prefix_groups": enc_n,
         "mosaic_cells": mosaic_n,
         "join_rows": join_n,
         "caption_invariant_ok": cap_ok == join_n,
