@@ -126,19 +126,20 @@ def _classify_cells(cell_ids: np.ndarray, poly: list, edges: np.ndarray,
     cell_edges = np.concatenate([starts, ends], axis=2).reshape(n * k, 4)
     cross = _segments_cross(cell_edges, edges).reshape(n, k).any(axis=1)
 
-    # any polygon vertex inside a cell (bbox prefilter, then per-cell PIP)
+    # any polygon vertex inside a cell: vectorized bbox prefilter over the
+    # (cells × vertices) grid, exact PIP only on the (rare) bbox hits
     pv_in = np.zeros(n, dtype=bool)
     bmin = starts.min(axis=1)
     bmax = starts.max(axis=1)
-    for i in range(n):
-        m = (
-            (poly_pts[:, 0] >= bmin[i, 0]) & (poly_pts[:, 0] <= bmax[i, 0])
-            & (poly_pts[:, 1] >= bmin[i, 1]) & (poly_pts[:, 1] <= bmax[i, 1])
+    hit = (
+        (poly_pts[None, :, 0] >= bmin[:, 0:1]) & (poly_pts[None, :, 0] <= bmax[:, 0:1])
+        & (poly_pts[None, :, 1] >= bmin[:, 1:2]) & (poly_pts[None, :, 1] <= bmax[:, 1:2])
+    )
+    for i in np.nonzero(hit.any(axis=1))[0]:
+        m = hit[i]
+        pv_in[i] = bool(
+            G.point_in_ring(poly_pts[m, 0], poly_pts[m, 1], starts[i]).any()
         )
-        if m.any():
-            pv_in[i] = bool(
-                G.point_in_ring(poly_pts[m, 0], poly_pts[m, 1], starts[i]).any()
-            )
     interior = vin_all & ~cross & ~pv_in
     intersects = vin_any | cross | pv_in
     return intersects, interior
