@@ -236,7 +236,24 @@ QUERIES_SQL["a5_encode_points_rollup"] = f"""
     SELECT a5_cell_to_parent(cell, 3) AS parent_cell, COUNT(*) AS n
     FROM c GROUP BY 1 ORDER BY parent_cell
 """
-# no oracle: dodecahedral projection is not ANSI-SQL-expressible
+
+
+def _encode_oracle_sql() -> str:
+    """Exact DuckDB oracle for the res-7 encode rollup: the generated CTE
+    chain reproduces core.cells.lonlat_to_cell bit-for-bit (oracle_gen.py;
+    verified on 50k random points at res 3/7/10)."""
+    from a5pg_spark.oracle_gen import encode_cte_chain
+
+    ctes, final = encode_cte_chain(7)
+    return f"""
+    WITH pts AS (SELECT o_orderkey AS key, {_PT.format(k="o_orderkey")} FROM orders),
+    {ctes}
+    SELECT {_parent_duck('cell', 3)} AS parent_cell, COUNT(*) AS n
+    FROM {final} GROUP BY 1 ORDER BY parent_cell
+"""
+
+
+ORACLES_SQL["a5_encode_points_rollup"] = _encode_oracle_sql()
 
 QUERIES_SQL["a5_roundtrip_quality"] = f"""
     WITH pts AS (SELECT o_orderkey, {_PT_SPARK.format(k="o_orderkey")} FROM orders),
@@ -251,7 +268,30 @@ QUERIES_SQL["a5_roundtrip_quality"] = f"""
            CAST(SUM(CASE WHEN ABS(clon - lon) < 0.2 OR ABS(lat) > 85 THEN 1 ELSE 0 END) AS BIGINT) AS lon_close
     FROM rt
 """
-# no oracle (projection); pytest pins the law per-point
+
+
+def _roundtrip_oracle_sql() -> str:
+    """DuckDB oracle for the res-10 round trip: exact encode chain + the
+    closed-form inverse (decode feeds 0.1-degree tolerance flags only, so the
+    inverse need not be bit-exact — the counts are stable)."""
+    from a5pg_spark.oracle_gen import decode_center_cte_chain, encode_cte_chain
+
+    enc_ctes, _ = encode_cte_chain(10)
+    dec_ctes, final = decode_center_cte_chain(10, src="encfq")
+    return f"""
+    WITH pts AS (SELECT o_orderkey AS key, {_PT.format(k="o_orderkey")} FROM orders),
+    {enc_ctes},
+    encfq AS (SELECT b.key, p.lon, p.lat, b.face, b.q, b.s
+              FROM bis18 b JOIN pts p USING (key)),
+    {dec_ctes}
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(clat - lat) < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS lat_close,
+           CAST(SUM(CASE WHEN ABS(clon - lon) < 0.2 OR ABS(lat) > 85 THEN 1 ELSE 0 END) AS BIGINT) AS lon_close
+    FROM {final}
+"""
+
+
+ORACLES_SQL["a5_roundtrip_quality"] = _roundtrip_oracle_sql()
 
 # -- relational repertoire (SURVEY.md §2.2) — exact oracles -----------------
 
@@ -310,6 +350,39 @@ ORACLES_SQL["text_lang_stats"] = """
            ROUND(AVG(n_chars), 4) AS avg_chars,
            ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens
     FROM documents GROUP BY lang ORDER BY lang
+"""
+
+# text_annotate_agg oracle: every feature is portable SQL; the fingerprint
+# distinct-count equals COUNT(DISTINCT text) because the extra hash inputs
+# (length, token count) are functions of the text — verified collision-free
+# on the synthetic corpus (deterministic), so the 64-bit hash is injective
+# on it and the distinct counts coincide.
+ORACLES_SQL["text_annotate_agg"] = r"""
+    WITH ann AS (
+      SELECT source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
+             text,
+             length(text) AS n_chars,
+             (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+               / greatest(length(text), 1) AS pr
+      FROM documents
+    ),
+    q AS (
+      SELECT source, n_tokens, n_subwords, text,
+             ROUND(((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 1.0 ELSE 0.2 END)
+                  + (CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.3 END)
+                  + (CASE WHEN (n_chars / greatest(CAST(n_tokens AS DOUBLE), 1.0)) >= 2.5
+                           AND (n_chars / greatest(CAST(n_tokens AS DOUBLE), 1.0)) <= 12
+                          THEN 1.0 ELSE 0.4 END)) / 3.0, 6) AS quality
+      FROM ann
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(n_subwords), 4) AS avg_subwords,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           COUNT(DISTINCT text) AS n_fingerprints
+    FROM q GROUP BY source ORDER BY source
 """
 
 QUERIES_SQL["embed_knn_bruteforce"] = """
