@@ -422,6 +422,48 @@ def oracle_sql() -> dict[str, str]:
 
 # -- operator-backed queries (DataFrame programs, not single SQL) ------------
 
+def _q_snapshot_pruned_scan(spark, sf_dir):
+    """Iceberg-style snapshot table: orders' synthetic cells written as a
+    cell-sorted snapshot (file-level min/max stats from parquet footers),
+    then a range scan that prunes non-overlapping files before Spark reads
+    them.  Semantics = plain range filter (exact oracle); the pruning is
+    pure I/O savings (sources/table.py)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.sources.table import SnapshotTable
+
+    _prep(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.abspath(f"spark-warehouse/snapshots/orders_cells_{key}")
+    t = SnapshotTable(root)
+    if t.manifest() is None:
+        df = spark.sql(
+            "SELECT a5_synth_cell(o_orderkey, 7) AS cell, o_totalprice AS price FROM orders"
+        )
+        t = SnapshotTable.create(root, df, sort_col="cell")
+    lo, hi = 5 << 58, (6 << 58) - 1  # all synth cells with origin 5
+    return (
+        t.scan(spark, cell_range=(lo, hi))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("price"), 2).alias("sum_price"),
+            F.min("cell").alias("min_cell"),
+            F.max("cell").alias("max_cell"),
+        )
+    )
+
+
+ORACLES_SQL["snapshot_pruned_scan"] = f"""
+    WITH c AS (SELECT {_synth_duck('o_orderkey', 7)} AS cell, o_totalprice AS price FROM orders)
+    SELECT COUNT(*) AS n, ROUND(SUM(price), 2) AS sum_price,
+           MIN(cell) AS min_cell, MAX(cell) AS max_cell
+    FROM c WHERE cell >= {5 << 58} AND cell <= {(6 << 58) - 1}
+"""
+
+
 def _q_compact_roundtrip(spark, sf_dir):
     """compact(uncompact(X)) == X — exercised through BOTH surfaces: the
     SQL-registered array functions (a5_compact/a5_uncompact, verbatim
@@ -604,6 +646,7 @@ def _q_dissolve_export(spark, sf_dir):
 
 _OPERATOR_QUERIES = {
     "a5_compact_roundtrip": _q_compact_roundtrip,
+    "snapshot_pruned_scan": _q_snapshot_pruned_scan,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,
     "spatial_join_elephant": _q_spatial_join_elephant,

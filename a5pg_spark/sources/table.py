@@ -1,0 +1,201 @@
+"""Iceberg-style snapshot tables over parquet (SURVEY.md §1.2 parity).
+
+The reference stores cells in PostgreSQL tables inside transactions
+(``tests/elephant_a5_cells.sql:11,115``); the Spark-native equivalent is a
+snapshot table: immutable parquet data files + a versioned metadata log with
+atomic commits, optimistic concurrency, time travel, and file-level sort-key
+stats for scan pruning.
+
+Layout::
+
+    <root>/data/snap-<uuid>/part-*.parquet     (immutable, one dir per commit)
+    <root>/metadata/v<N>.json                  (snapshot manifest, CAS via O_EXCL)
+    <root>/metadata/current                    (pointer, atomic tmp+rename)
+
+Manifest: {version, snapshot_id, parent, ts, operation, schema, sort_col,
+files: [{path, rows, bytes, min, max}], metrics: {rows, bytes, n_files,
+skew_ratio}}.
+
+Scale notes (100 TB design):
+* per-file min/max stats are read from parquet FOOTERS (pyarrow), never by
+  scanning data — commit metadata cost is O(files), not O(rows);
+* ``scan(cell_range=...)`` prunes files by stats overlap before Spark ever
+  sees them — on a cell-sorted table a point/range lookup touches O(1) files
+  (the B-tree-index analogue, combined with write-sorted layout from
+  ``plans/partitioning.write_cell_sorted``);
+* commits are metadata-only CAS: concurrent writers conflict on the version
+  file (O_EXCL create) and retry with the next version — writers never block
+  readers, readers always see a complete snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # ------------------------------------------------------------- metadata
+    def _current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.meta_dir, "current")) as f:
+                return json.load(f)["version"]
+        except (OSError, json.JSONDecodeError, KeyError):
+            return None
+
+    def manifest(self, version: int | None = None) -> dict | None:
+        v = self._current_version() if version is None else version
+        if v is None:
+            return None
+        try:
+            with open(os.path.join(self.meta_dir, f"v{v}.json")) as f:
+                return json.load(f)
+        except OSError:
+            return None
+
+    def snapshots(self) -> list:
+        """All committed manifests, oldest first."""
+        v = self._current_version()
+        out = []
+        while v is not None and v >= 1:
+            m = self.manifest(v)
+            if m is None:
+                break
+            out.append(m)
+            v = m.get("parent")
+        return list(reversed(out))
+
+    # --------------------------------------------------------------- writes
+    def _write_files(self, df: DataFrame, sort_col: str | None) -> tuple[str, list]:
+        snap_dir = os.path.join(self.data_dir, f"snap-{uuid.uuid4().hex[:12]}")
+        w = df
+        if sort_col is not None:
+            # co-locate ranges: range-partition then sort within partitions —
+            # each output file covers a disjoint cell range (prunable)
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            w = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
+        w.write.mode("errorifexists").parquet(snap_dir)
+        files = []
+        for name in sorted(os.listdir(snap_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(snap_dir, name)
+            md = pq.ParquetFile(path).metadata
+            lo = hi = None
+            if sort_col is not None:
+                idx = md.schema.names.index(sort_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            files.append({
+                "path": path, "rows": md.num_rows,
+                "bytes": os.path.getsize(path), "min": lo, "max": hi,
+            })
+        return snap_dir, files
+
+    def _commit(self, operation: str, files: list, schema_json: str,
+                sort_col: str | None, retain_previous: bool) -> dict:
+        os.makedirs(self.meta_dir, exist_ok=True)
+        for _ in range(20):  # optimistic retry loop
+            cur = self._current_version()
+            prev = self.manifest(cur) if cur is not None else None
+            all_files = list(files)
+            if retain_previous and prev is not None:
+                all_files = prev["files"] + all_files
+            rows = sum(f["rows"] for f in all_files)
+            nbytes = sum(f["bytes"] for f in all_files)
+            mean = rows / max(len(all_files), 1)
+            skew = (max((f["rows"] for f in all_files), default=0) / mean) if mean else 0.0
+            version = (cur or 0) + 1
+            manifest = {
+                "version": version,
+                "snapshot_id": uuid.uuid4().hex,
+                "parent": cur,
+                "ts": time.time(),
+                "operation": operation,
+                "schema": schema_json,
+                "sort_col": sort_col,
+                "files": all_files,
+                "metrics": {"rows": rows, "bytes": nbytes,
+                            "n_files": len(all_files),
+                            "skew_ratio": round(skew, 4)},
+            }
+            vpath = os.path.join(self.meta_dir, f"v{version}.json")
+            try:
+                fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue  # another writer won this version — retry on top
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            # flip the pointer atomically (readers see old or new, never half)
+            tmp = os.path.join(self.meta_dir, f".current.{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                json.dump({"version": version}, f)
+            os.replace(tmp, os.path.join(self.meta_dir, "current"))
+            return manifest
+        raise CommitConflict(f"gave up after 20 optimistic retries: {self.root}")
+
+    def append(self, df: DataFrame, sort_col: str | None = None) -> dict:
+        m = self.manifest()
+        sort_col = sort_col or (m and m.get("sort_col"))
+        _, files = self._write_files(df, sort_col)
+        return self._commit("append", files, df.schema.json(), sort_col, True)
+
+    def overwrite(self, df: DataFrame, sort_col: str | None = None) -> dict:
+        _, files = self._write_files(df, sort_col)
+        return self._commit("overwrite", files, df.schema.json(), sort_col, False)
+
+    @classmethod
+    def create(cls, root: str, df: DataFrame, sort_col: str | None = None) -> "SnapshotTable":
+        t = cls(root)
+        os.makedirs(t.data_dir, exist_ok=True)
+        t.overwrite(df, sort_col=sort_col)
+        return t
+
+    # ---------------------------------------------------------------- reads
+    def scan(self, spark: SparkSession, version: int | None = None,
+             cell_range: tuple | None = None) -> DataFrame:
+        """Read a snapshot; with ``cell_range=(lo, hi)`` (inclusive), prune
+        data files whose sort-col stats don't overlap, then apply the exact
+        filter (pruning is an optimization, never a semantic change)."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        files = m["files"]
+        if cell_range is not None and m.get("sort_col"):
+            lo, hi = cell_range
+            files = [f for f in files
+                     if f["min"] is None or not (f["max"] < lo or f["min"] > hi)]
+        if not files:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        df = spark.read.parquet(*[f["path"] for f in files])
+        if cell_range is not None and m.get("sort_col"):
+            c = m["sort_col"]
+            df = df.filter((df[c] >= cell_range[0]) & (df[c] <= cell_range[1]))
+        return df
+
+    def pruned_file_count(self, cell_range: tuple, version: int | None = None) -> tuple:
+        """(files read, files total) for a range — pruning effectiveness."""
+        m = self.manifest(version)
+        lo, hi = cell_range
+        kept = [f for f in m["files"]
+                if f["min"] is None or not (f["max"] < lo or f["min"] > hi)]
+        return len(kept), len(m["files"])
