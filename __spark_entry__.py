@@ -536,13 +536,80 @@ def _q_knn_points(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH near-duplicate pairs over documents (xxhash64-based — not
-    ANSI-expressible; rows-only driver check + pytest planted-pair tests)."""
+    """MinHash-LSH near-duplicate pairs over documents.  Runs the operator in
+    its portable-hash mode (polynomial folds instead of xxhash64) so the
+    ENTIRE pipeline — shingle hash, 64 minhash permutations, band folds,
+    candidate join, exact Jaccard verify — is replicated verbatim by the
+    DuckDB oracle; plan shape is identical to the xxhash64 default, which
+    pytest's planted-pair tests keep covering."""
     _prep(spark, sf_dir)
     from a5pg_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.table("documents")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5).orderBy("id_a", "id_b")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5,
+                             hash_mode="portable").orderBy("id_a", "id_b")
+
+
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                        shingle_k: int = 5, threshold: float = 0.5) -> str:
+    """DuckDB replica of minhash_lsh_pairs(hash_mode='portable'): same
+    coefficients (minhash_params), same integer folds, same verify."""
+    from a5pg_spark.operators.dedup import MERSENNE_P, minhash_params
+
+    a, b = minhash_params(num_hashes)
+    r = num_hashes // bands
+
+    def mh(i):
+        return (f"list_min(list_transform(hs, x -> ({int(a[i])} * x + {int(b[i])}) "
+                f"% {MERSENNE_P}))")
+
+    band_structs = []
+    for bi in range(bands):
+        h = "CAST(0 AS BIGINT)"
+        for j in range(r):
+            h = f"(({h}) * 1000003 + ({mh(bi * r + j)} % 2147483648)) % 2147483648"
+        band_structs.append(f"{{'band_id': {bi}, 'band_hash': {h}}}")
+    bl = "[" + ", ".join(band_structs) + "]"
+    return f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, length(text) - {shingle_k - 1}) + 1),
+               i -> substring(text, i, {shingle_k}))) AS shs
+      FROM documents
+    ),
+    shh AS (
+      SELECT doc_id, shs,
+             list_transform(shs, s -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(s) + 1),
+                                i -> CAST(ord(substring(s, i, 1)) AS BIGINT))),
+               (acc, c) -> (acc * 131 + c) % 2147483648)) AS hs
+      FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, UNNEST({bl}, recursive := true) FROM shh
+    ),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE) AS j
+      FROM cand JOIN shh x ON x.doc_id = cand.id_a JOIN shh y ON y.doc_id = cand.id_b
+    )
+    WHERE j >= {threshold}
+    ORDER BY id_a, id_b
+"""
+
+
+ORACLES_SQL["dedup_minhash_pairs"] = _minhash_oracle_sql()
 
 
 def _q_text_annotate(spark, sf_dir):

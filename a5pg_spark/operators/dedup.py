@@ -40,17 +40,40 @@ def _shingles(text_col: str, k: int) -> F.Column:
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
-                      shingle_k: int = 5, seed: int = 7) -> DataFrame:
-    """Add ``minhash`` array<long> of length ``num_hashes`` (all JVM-side):
-    h_i(x) = (a_i·x31 + b_i) mod 2^61−1 with x31 = pmod(xxhash64(x), 2^31) and
-    a_i < 2^31 — products stay < 2^62, safe under Spark's ANSI overflow
-    checks, min over shingles."""
+def minhash_params(num_hashes: int = 64, seed: int = 7):
+    """The (a_i, b_i) hash coefficients — shared with the DuckDB oracle."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 1 << 31, size=num_hashes, dtype=np.int64)
     b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+# portable (ANSI-replicable) shingle hash: left-fold (acc*131 + charcode)
+# mod 2^31 — slower than xxhash64 (per-char HOF) but byte-identical in any
+# dialect; used by the oracle-checked driver query, not the 100 TB default.
+_PORTABLE_SHINGLE_HASH = (
+    "transform(__sh, s -> aggregate(transform(sequence(1, length(s)), "
+    "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), "
+    "(acc, c) -> pmod(acc * 131 + c, 2147483648)))"
+)
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
+                      shingle_k: int = 5, seed: int = 7,
+                      hash_mode: str = "xxhash64") -> DataFrame:
+    """Add ``minhash`` array<long> of length ``num_hashes`` (all JVM-side):
+    h_i(x) = (a_i·x31 + b_i) mod 2^61−1 with x31 = pmod(hash(x), 2^31) and
+    a_i < 2^31 — products stay < 2^62, safe under Spark's ANSI overflow
+    checks, min over shingles.  ``hash_mode``: "xxhash64" (native, default)
+    or "portable" (polynomial fold, exactly reproducible in DuckDB)."""
+    a, b = minhash_params(num_hashes, seed)
+    shingle_hash = (
+        "transform(__sh, s -> pmod(xxhash64(s), 2147483648))"
+        if hash_mode == "xxhash64"
+        else _PORTABLE_SHINGLE_HASH
+    )
     df = df.withColumn("__sh", _shingles(text_col, shingle_k)).withColumn(
-        "__shh", F.expr("transform(__sh, s -> pmod(xxhash64(s), 2147483648))")
+        "__shh", F.expr(shingle_hash)
     )
     params = F.array(*[F.struct(F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b"))
                        for ai, bi in zip(a, b)])
@@ -67,15 +90,31 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-                      jaccard_threshold: float = 0.7) -> DataFrame:
+                      jaccard_threshold: float = 0.7,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, num_hashes, shingle_k).select(
+    sig = minhash_signature(df, text_col, num_hashes, shingle_k,
+                            hash_mode=hash_mode).select(
         id_col, text_col, "minhash"
     )
+    if hash_mode == "xxhash64":
+        band_hash = (
+            f"xxhash64(to_json(struct(slice(minhash, b * {rows_per_band} + 1, "
+            f"{rows_per_band}))))"
+        )
+    else:
+        # portable band fold: (acc*1000003 + (v mod 2^31)) mod 2^31 — band
+        # collisions only ADD candidates and the exact verify filters them,
+        # so the narrower accumulator is harmless
+        band_hash = (
+            f"aggregate(slice(minhash, b * {rows_per_band} + 1, {rows_per_band}), "
+            "CAST(0 AS BIGINT), "
+            "(acc, v) -> pmod(acc * 1000003 + pmod(v, 2147483648), 2147483648))"
+        )
     # band self-join on ids ONLY — round 1 carried the full document text
     # through this shuffle; at 100 TB that ships text pairs for every band
     # collision.  Candidates are (id_a, id_b); shingle sets are joined back by
@@ -85,7 +124,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"struct(b AS band_id, xxhash64(to_json(struct(slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))) AS band_hash))"
+                f"struct(b AS band_id, {band_hash} AS band_hash))"
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")

@@ -128,6 +128,18 @@ class TestDedup:
         assert (d0[1].doc_id, 90002) in found          # near dup
         assert (pairs.jaccard <= 1.0).all() and (pairs.jaccard >= 0.5).all()
 
+    def test_minhash_portable_mode_matches_default(self, spark, docs):
+        """The portable-hash mode (oracle-checkable arithmetic) finds the
+        same verified pairs as the xxhash64 default — only the LSH hashing
+        differs, and exact Jaccard verify makes both converge."""
+        a = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).toPandas()
+        b = dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, hash_mode="portable"
+        ).toPandas()
+        pa = sorted(zip(a.id_a, a.id_b, a.jaccard))
+        pb = sorted(zip(b.id_a, b.id_b, b.jaccard))
+        assert pa == pb
+
     def test_simhash_near_dup(self, spark, docs):
         pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).toPandas()
         found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
