@@ -535,6 +535,88 @@ def _q_knn_points(spark, sf_dir):
               .orderBy("qid", "rk")
 
 
+def _spatial_join_oracle_sql() -> str:
+    """DuckDB oracle for the elephant spatial join: the same even-odd
+    ray-cast PIP over the same (x30-scaled) edge list, embedded as literals.
+    The engine's cover stage is a pure candidate filter (covers are exact
+    supersets), so ground truth is plain PIP per part."""
+    from a5pg_spark.sources import polygons as P
+
+    fc = P.elephant_feature_collection()
+    rows = []
+    for f in fc["features"]:
+        part = f["properties"]["part"]
+        g = f["geometry"]
+        if g["type"] == "Polygon":
+            polys = [g["coordinates"]]
+        elif g["type"] == "MultiPolygon":
+            polys = g["coordinates"]
+        else:
+            continue  # eye points have no area
+        for poly in polys:
+            for ring in poly:
+                for i in range(len(ring)):
+                    a, b = ring[i], ring[(i + 1) % len(ring)]
+                    if a[0] == b[0] and a[1] == b[1]:
+                        continue
+                    rows.append(
+                        f"('{part}', {float(a[0]) * 30!r}, {float(a[1]) * 30!r}, "
+                        f"{float(b[0]) * 30!r}, {float(b[1]) * 30!r})"
+                    )
+    vals = ",\n      ".join(rows)
+    return f"""
+    WITH pts AS (SELECT o_orderkey AS pid, {_PT.format(k="o_orderkey")} FROM orders),
+    edges AS (
+      SELECT part, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+             CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+      FROM (VALUES
+      {vals}) t(part, x1, y1, x2, y2)
+    ),
+    cnt AS (
+      SELECT p.pid, e.part,
+             SUM(CASE WHEN (e.y1 > p.lat) != (e.y2 > p.lat)
+                       AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+                      THEN 1 ELSE 0 END) AS c
+      FROM pts p CROSS JOIN edges e GROUP BY 1, 2
+    )
+    SELECT part, COUNT(*) AS n_points FROM cnt WHERE c % 2 = 1
+    GROUP BY part ORDER BY part
+"""
+
+
+ORACLES_SQL["spatial_join_elephant"] = _spatial_join_oracle_sql()
+
+
+# kNN oracle: the engine's ring-expansion kNN is provably exact (clearance
+# lower bounds), so the ground truth is a brute-force haversine top-k — tiny
+# in DuckDB at sf0.01, impossible at 100 TB (which is the operator's point).
+ORACLES_SQL["knn_probe_cities"] = f"""
+    WITH cities(qid, qlon, qlat) AS (
+      SELECT * FROM (VALUES
+        (0, CAST(-73.9857 AS DOUBLE), CAST(40.758 AS DOUBLE)),
+        (1, CAST(-0.1276 AS DOUBLE), CAST(51.5074 AS DOUBLE)),
+        (2, CAST(139.6503 AS DOUBLE), CAST(35.6762 AS DOUBLE)),
+        (3, CAST(-3.7037 AS DOUBLE), CAST(40.41677 AS DOUBLE)),
+        (4, CAST(151.2093 AS DOUBLE), CAST(-33.8688 AS DOUBLE)))),
+    pts AS (SELECT o_orderkey AS pid, {_PT.format(k="o_orderkey")} FROM orders),
+    d AS (
+      SELECT qid, pid,
+             2.0 * CAST(6371007.1809184747 AS DOUBLE) * asin(sqrt(
+               pow(sin((radians(lat) - radians(qlat)) / 2), 2)
+               + cos(radians(qlat)) * cos(radians(lat))
+                 * pow(sin((radians(lon) - radians(qlon)) / 2), 2))) AS dist_m
+      FROM cities CROSS JOIN pts
+    ),
+    rk_ AS (
+      SELECT qid, pid, dist_m,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_m ASC, pid ASC) AS rk
+      FROM d
+    )
+    SELECT qid, pid, ROUND(dist_m, 2) AS dist_m, rk
+    FROM rk_ WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+
 def _q_dedup_minhash(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs over documents.  Runs the operator in
     its portable-hash mode (polynomial folds instead of xxhash64) so the
@@ -641,6 +723,70 @@ def _q_embed_ann_srp(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     return srp_ann_topk(q, emb, k=5, planes=4, tables=8).orderBy("qid", "rk")
+
+
+def _srp_oracle_sql(k: int = 5, planes: int = 4, tables: int = 8,
+                    seed: int = 11, dim: int = 64) -> str:
+    """DuckDB replica of the SRP-ANN query: the same projection planes as
+    literals (sign margins are ~1e0 vs float noise ~1e-13, so the BLAS-vs-
+    sequential summation difference cannot flip buckets on this corpus), and
+    the exact-cosine rank mirrors Spark's sequential aggregate fold."""
+    import numpy as np
+
+    from a5pg_spark.operators.similarity import _srp_planes
+
+    P = np.concatenate([_srp_planes(dim, planes, seed + t) for t in range(tables)],
+                       axis=1)
+
+    def keys_expr(vec: str) -> str:
+        ks = []
+        for t in range(tables):
+            bits = []
+            for i in range(planes):
+                col = t * planes + i
+                dot = " + ".join(
+                    f"(CAST({vec}[{j + 1}] AS DOUBLE) * {float(P[j, col])!r})"
+                    for j in range(dim)
+                )
+                bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+            ks.append(f"({t << planes} + " + " + ".join(bits) + ")")
+        return "[" + ", ".join(ks) + "]"
+
+    def fold_dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    cos = (f"({fold_dot('q.qe', 'e.embedding')} / "
+           f"(sqrt({fold_dot('q.qe', 'q.qe')}) * "
+           f"sqrt({fold_dot('e.embedding', 'e.embedding')})))")
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    qb AS (SELECT qid, UNNEST({keys_expr('qe')}) AS tb FROM q),
+    cb AS (SELECT vec_id, UNNEST({keys_expr('embedding')}) AS tb FROM embeddings),
+    cand AS (
+      SELECT qb.qid, cb.vec_id FROM qb JOIN cb USING (tb)
+      WHERE qb.qid != cb.vec_id GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT cand.qid, cand.vec_id, {cos} AS cos_sim
+      FROM cand JOIN q ON q.qid = cand.qid
+                JOIN embeddings e ON e.vec_id = cand.vec_id
+    ),
+    rk_ AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM ver
+    )
+    SELECT qid, vec_id, ROUND(cos_sim, 6) AS cos_sim, rk
+    FROM rk_ WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
+ORACLES_SQL["embed_ann_srp"] = _srp_oracle_sql()
 
 
 def _q_images_tiling(spark, sf_dir):
