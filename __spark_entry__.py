@@ -662,11 +662,7 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
     ),
     shh AS (
       SELECT doc_id, shs,
-             list_transform(shs, s -> list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(range(1, length(s) + 1),
-                                i -> CAST(ord(substring(s, i, 1)) AS BIGINT))),
-               (acc, c) -> (acc * 131 + c) % 2147483648)) AS hs
+             list_transform(shs, s -> ((CASE WHEN length(s) >= 1 THEN CAST(ord(substring(s, 1, 1)) AS BIGINT) ELSE 0 END) * 294499921 + (CASE WHEN length(s) >= 2 THEN CAST(ord(substring(s, 2, 1)) AS BIGINT) ELSE 0 END) * 2248091 + (CASE WHEN length(s) >= 3 THEN CAST(ord(substring(s, 3, 1)) AS BIGINT) ELSE 0 END) * 17161 + (CASE WHEN length(s) >= 4 THEN CAST(ord(substring(s, 4, 1)) AS BIGINT) ELSE 0 END) * 131 + (CASE WHEN length(s) >= 5 THEN CAST(ord(substring(s, 5, 1)) AS BIGINT) ELSE 0 END) * 1) % 2147483648) AS hs
       FROM sh
     ),
     banded AS (

@@ -164,6 +164,7 @@ def register(spark: SparkSession) -> None:
     for name, body in SQL_BODIES.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
     spark.udf.register("a5_lonlat_to_cell", _lonlat_to_cell_udf)
+    spark.udf.register("a5_lonlat_to_cell_strict", _lonlat_to_cell_strict_udf)
     spark.udf.register("a5_cell_to_lonlat", _cell_to_lonlat_udf)
     spark.udf.register("a5_cell_to_lon", _cell_to_lon_udf)
     spark.udf.register("a5_cell_to_lat", _cell_to_lat_udf)
@@ -207,6 +208,21 @@ def _lonlat_to_cell_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Se
     la = lat.to_numpy(dtype=np.float64, na_value=0.0)
     rs = res.to_numpy(dtype=np.float64, na_value=2.0).astype(np.int64)
     ids = cells.lonlat_to_cell(lo, la, rs)
+    out = pd.Series(ids, dtype="Int64")
+    out[na.to_numpy()] = pd.NA
+    return out
+
+
+@pandas_udf(LongType())
+def _lonlat_to_cell_strict_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -> pd.Series:
+    """Reference-parity overflow mode: errors on ids above i64::MAX exactly
+    like a5pg's BIGINT guard (``src/lib.rs:32-37``) instead of wrapping to
+    two's complement (the engine default, DESIGN.md §2.4)."""
+    na = _strict_mask(lon, lat, res)
+    lo = lon.to_numpy(dtype=np.float64, na_value=0.0)
+    la = lat.to_numpy(dtype=np.float64, na_value=0.0)
+    rs = res.to_numpy(dtype=np.float64, na_value=2.0).astype(np.int64)
+    ids = cells.lonlat_to_cell(lo, la, rs, strict_i64=True)
     out = pd.Series(ids, dtype="Int64")
     out[na.to_numpy()] = pd.NA
     return out

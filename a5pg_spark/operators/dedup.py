@@ -48,14 +48,17 @@ def minhash_params(num_hashes: int = 64, seed: int = 7):
     return a, b
 
 
-# portable (ANSI-replicable) shingle hash: left-fold (acc*131 + charcode)
-# mod 2^31 — slower than xxhash64 (per-char HOF) but byte-identical in any
-# dialect; used by the oracle-checked driver query, not the 100 TB default.
-_PORTABLE_SHINGLE_HASH = (
-    "transform(__sh, s -> aggregate(transform(sequence(1, length(s)), "
-    "i -> CAST(ascii(substring(s, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), "
-    "(acc, c) -> pmod(acc * 131 + c, 2147483648)))"
-)
+# portable (ANSI-replicable) shingle hash: polynomial sum over the k fixed
+# character positions, mod 2^31 — equals the left-fold (acc*131 + code) but
+# closed-form (native expressions, no per-char HOF: the fold form measured
+# 550 s at sf0.1 vs ~seconds closed-form).  ascii('') = 0 covers short tails.
+# Used by the oracle-checked driver query, not the 100 TB default (xxhash64).
+def _portable_shingle_hash(k: int) -> str:
+    terms = " + ".join(
+        f"CAST(ascii(substring(s, {i + 1}, 1)) AS BIGINT) * {131 ** (k - 1 - i)}"
+        for i in range(k)
+    )
+    return f"transform(__sh, s -> pmod({terms}, 2147483648))"
 
 
 def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
@@ -67,25 +70,67 @@ def minhash_signature(df: DataFrame, text_col: str = "text", num_hashes: int = 6
     checks, min over shingles.  ``hash_mode``: "xxhash64" (native, default)
     or "portable" (polynomial fold, exactly reproducible in DuckDB)."""
     a, b = minhash_params(num_hashes, seed)
-    shingle_hash = (
-        "transform(__sh, s -> pmod(xxhash64(s), 2147483648))"
-        if hash_mode == "xxhash64"
-        else _PORTABLE_SHINGLE_HASH
-    )
+    if hash_mode == "portable":
+        # fused text -> signature in ONE Arrow pass: sliding-window
+        # polynomial hash (identical closed form: sum code_i * 131^(k-1-i)
+        # mod 2^31, zero-padded tails) + vectorized min-pluck.  Min over all
+        # windows == min over distinct shingles, so array_distinct is
+        # unnecessary here.  ~100x the interpreted-HOF route.
+        from pyspark.sql.types import ArrayType
+
+        av, bv = a.copy(), b.copy()
+        w = np.array([131 ** (shingle_k - 1 - i) for i in range(shingle_k)],
+                     dtype=np.int64)
+
+        @pandas_udf(ArrayType(LongType()))
+        def _sig_text(texts: pd.Series) -> pd.Series:
+            out = []
+            for s in texts:
+                if s is None:
+                    out.append(None)
+                    continue
+                codes = np.array([ord(c) for c in s], dtype=np.int64) \
+                    if not s.isascii() else \
+                    np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+                if len(codes) < shingle_k:
+                    codes = np.pad(codes, (0, shingle_k - len(codes)))
+                n = len(codes) - shingle_k + 1
+                h = np.zeros(n, dtype=np.int64)
+                for i in range(shingle_k):
+                    h += codes[i : i + n] * w[i]
+                h %= 2147483648
+                m = (av[None, :] * h[:, None] + bv[None, :]) % MERSENNE_P
+                out.append(m.min(axis=0))
+            return pd.Series(out)
+
+        return df.withColumn("minhash", _sig_text(F.col(text_col)))
+
+    shingle_hash = "transform(__sh, s -> pmod(xxhash64(s), 2147483648))"
     df = df.withColumn("__sh", _shingles(text_col, shingle_k)).withColumn(
         "__shh", F.expr(shingle_hash)
     )
-    params = F.array(*[F.struct(F.lit(int(ai)).alias("a"), F.lit(int(bi)).alias("b"))
-                       for ai, bi in zip(a, b)])
-    sig = F.expr(
-        "transform(__params, p -> "
-        " array_min(transform(__shh, x -> pmod(p.a * x + p.b, 2305843009213693951))))"
-    )
-    return (
-        df.withColumn("__params", params)
-        .withColumn("minhash", sig)
-        .drop("__sh", "__shh", "__params")
-    )
+
+    # the num_hashes x shingles min-pluck as an interpreted HOF measured
+    # ~8 ms/doc (465 s for 60k docs) — Arrow-vectorized NumPy does the same
+    # integer arithmetic (a*x < 2^62, exact in int64) ~100x faster
+    from pyspark.sql.types import ArrayType
+
+    av = a.copy()
+    bv = b.copy()
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(shh: pd.Series) -> pd.Series:
+        out = []
+        for arr in shh:
+            if arr is None or len(arr) == 0:
+                out.append(None)  # matches array_min over an empty array
+                continue
+            x = np.asarray(arr, dtype=np.int64)
+            m = (av[None, :] * x[:, None] + bv[None, :]) % MERSENNE_P
+            out.append(m.min(axis=0))
+        return pd.Series(out)
+
+    return df.withColumn("minhash", _sig(F.col("__shh"))).drop("__sh", "__shh")
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "embed_knn_bruteforce",      # vector similarity top-k
     "spatial_join_elephant",     # exact cover + native PIP join (round 2)
     "embed_ann_srp",             # single-pass multi-table SRP ANN (round 2)
+    "snapshot_pruned_scan",      # snapshot table + footer-stats file pruning
 ]
 
 
