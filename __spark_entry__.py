@@ -853,9 +853,72 @@ def _q_dissolve_export(spark, sf_dir):
     ).orderBy("part")
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Stateful streaming first-seen dedup (applyInPandasWithState) driven
+    deterministically: orders-derived events written as two parquet files
+    with planted cross-batch duplicates, processed one-file-per-microbatch
+    under availableNow, parquet sink read back.  Custom stateful streaming —
+    genuinely non-SQL-expressible (rows-only check; laws in
+    tests/test_streaming.py)."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.streaming.ingest import streaming_dedup
+
+    _prep(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.abspath(f"spark-warehouse/streams/dedup_{key}")
+    src, sink, ck = f"{base}/src", f"{base}/sink", f"{base}/ck"
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    ev1 = spark.sql(
+        "SELECT timestamp'2026-01-01 12:00:00' AS event_time, concat('img-', o_orderkey % 700) AS image_id "
+        "FROM orders WHERE o_orderkey <= 500"
+    )
+    ev2 = spark.sql(
+        "SELECT timestamp'2026-01-01 12:00:10' AS event_time, concat('img-', o_orderkey % 700) AS image_id "
+        "FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1000"
+    )
+    ev1.coalesce(1).write.parquet(src)
+    ev2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev1.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_dedup(stream, id_col="image_id")
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(sink)
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.count_distinct("image_id").alias("n_distinct"),
+        )
+    )
+
+
+# the stateful-streaming EXECUTION is not SQL-expressible, but the dedup
+# RESULT is: first-seen dedup must emit exactly the distinct id set
+ORACLES_SQL["stream_dedup_firstseen"] = """
+    WITH ids AS (SELECT DISTINCT ('img-' || (o_orderkey % 700)) AS image_id
+                 FROM orders WHERE o_orderkey <= 1000)
+    SELECT COUNT(*) AS n_unique, COUNT(*) AS n_distinct FROM ids
+"""
+
 _OPERATOR_QUERIES = {
     "a5_compact_roundtrip": _q_compact_roundtrip,
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+    "stream_dedup_firstseen": _q_stream_dedup,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,
     "spatial_join_elephant": _q_spatial_join_elephant,

@@ -51,3 +51,43 @@ def streaming_cell_counts(
         .agg(F.count("*").alias("n"))
         .select("w.start", "w.end", "parent_cell", "n")
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_col: str = "image_id",
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """Cross-micro-batch first-seen dedup via ``applyInPandasWithState``.
+
+    Emits each key's FIRST row only, remembering seen keys in per-key state
+    with a processing-time TTL (bounded state at 100 TB arrival rates: state
+    is one byte-ish per key per TTL window, sharded by the shuffle on
+    ``id_col``).  The engine-side analogue of the batch ``exact_dedup``
+    for continuous ingest."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = events.schema
+    state_schema = StructType([StructField("seen", IntegerType())])
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = not state.exists
+        for pdf in pdfs:
+            if first and len(pdf) > 0:
+                yield pdf.iloc[:1]
+                first = False
+        if not state.exists:
+            state.update((1,))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+
+    return events.groupBy(id_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
