@@ -785,6 +785,99 @@ def _srp_oracle_sql(k: int = 5, planes: int = 4, tables: int = 8,
 ORACLES_SQL["embed_ann_srp"] = _srp_oracle_sql()
 
 
+def _q_embed_ann_ivf(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer trained on a deterministic sample
+    (vec_id < 200), corpus sharded into inverted lists, nprobe=3 probing,
+    exact cosine re-rank (operators/similarity.py:ivf_ann_topk)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.similarity import ivf_ann_topk, kmeans_fit
+
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    sample = emb.filter(F.col("vec_id") < 200).orderBy("vec_id").toPandas()
+    C = kmeans_fit(np.stack(sample.embedding.to_numpy()), k=8)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    return ivf_ann_topk(q, emb, k=5, centroids=C, nprobe=3).orderBy("qid", "rk")
+
+
+def _ivf_oracle_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 3,
+                    dim: int = 64, sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB replica of the IVF query: identical centroids (same sample,
+    same deterministic k-means), list assignment and probing as rank-by-
+    distance SQL, same exact-cosine re-rank.  The driver compares at sf0.01,
+    whose embeddings this generator reads directly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from a5pg_spark.operators.similarity import kmeans_fit
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    t = t[t.vec_id < 200].sort_values("vec_id")
+    C = kmeans_fit(np.stack(t.embedding.to_numpy()), k=n_centroids)
+
+    def dists(vec: str) -> str:
+        structs = []
+        for j in range(n_centroids):
+            d = " + ".join(
+                f"((CAST({vec}[{i + 1}] AS DOUBLE) - {float(C[j, i])!r}) * "
+                f"(CAST({vec}[{i + 1}] AS DOUBLE) - {float(C[j, i])!r}))"
+                for i in range(dim)
+            )
+            structs.append(f"{{'j': {j}, 'dj': ({d})}}")
+        return "[" + ", ".join(structs) + "]"
+
+    def fold_dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    cos = (f"({fold_dot('q.qe', 'e.embedding')} / "
+           f"(sqrt({fold_dot('q.qe', 'q.qe')}) * "
+           f"sqrt({fold_dot('e.embedding', 'e.embedding')})))")
+    return f"""
+    WITH cl AS (
+      SELECT vec_id, list FROM (
+        SELECT vec_id, j AS list,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dj ASC, j ASC) AS r
+        FROM (SELECT vec_id, UNNEST({dists('embedding')}, recursive := true)
+              FROM embeddings)) WHERE r = 1
+    ),
+    q0 AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    ql AS (
+      SELECT qid, list FROM (
+        SELECT qid, j AS list,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dj ASC, j ASC) AS r
+        FROM (SELECT qid, UNNEST({dists('qe')}, recursive := true) FROM q0))
+      WHERE r <= {nprobe}
+    ),
+    cand AS (
+      SELECT ql.qid, cl.vec_id FROM ql JOIN cl USING (list)
+      WHERE ql.qid != cl.vec_id GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT cand.qid, cand.vec_id, {cos} AS cos_sim
+      FROM cand JOIN q0 q ON q.qid = cand.qid
+                JOIN embeddings e ON e.vec_id = cand.vec_id
+    ),
+    rk_ AS (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rk
+      FROM ver
+    )
+    SELECT qid, vec_id, ROUND(cos_sim, 6) AS cos_sim, rk
+    FROM rk_ WHERE rk <= {k} ORDER BY qid, rk
+"""
+
+
+ORACLES_SQL["embed_ann_ivf"] = _ivf_oracle_sql()
+
+
 def _q_images_tiling(spark, sf_dir):
     """Raster→cell tiling smoke over a synthesized deterministic image batch
     (the parquet corpus has no binary images; generation is part of the
@@ -926,6 +1019,7 @@ _OPERATOR_QUERIES = {
     "dedup_minhash_pairs": _q_dedup_minhash,
     "text_annotate_agg": _q_text_annotate,
     "embed_ann_srp": _q_embed_ann_srp,
+    "embed_ann_ivf": _q_embed_ann_ivf,
     "images_tiling_mosaic": _q_images_tiling,
 }
 

@@ -129,3 +129,70 @@ def srp_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
         .filter(F.col("rk") <= k)
         .select(qid, cid, F.round("cos_sim", 6).alias("cos_sim"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(X: np.ndarray, k: int, iters: int = 5, seed: int = 13) -> np.ndarray:
+    """Deterministic Lloyd's k-means (float64, fixed iterations, seeded
+    init by sampling rows).  Used on a bounded driver-side SAMPLE — the
+    standard IVF recipe at 100 TB: train the coarse quantizer on a sample,
+    assign the full corpus distributedly."""
+    X = np.asarray(X, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def _ivf_lists_udf(C: np.ndarray, nprobe: int):
+    """pandas UDF factory: vector -> nprobe nearest centroid ids (first id
+    is the assignment list).  One matmul per Arrow batch."""
+    from pyspark.sql.types import ArrayType
+
+    Cf = np.asarray(C, dtype=np.float64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def lists(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((M[:, None, :] - Cf[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    return lists
+
+
+def ivf_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                 centroids: np.ndarray, nprobe: int = 4,
+                 qid: str = "qid", cid: str = "vec_id",
+                 qvec: str = "qe", cvec: str = "embedding") -> DataFrame:
+    """IVF ANN: corpus rows live in ONE inverted list (nearest centroid);
+    queries probe their ``nprobe`` nearest lists; exact cosine re-rank among
+    candidates.  The join is an equi-join on list id — broadcastable for
+    small query sets, shuffle-partitioned by list otherwise; lists shard the
+    corpus so each probe touches ~nprobe/n_centroids of the data."""
+    assign1 = _ivf_lists_udf(centroids, 1)
+    assignP = _ivf_lists_udf(centroids, nprobe)
+    cb = corpus.withColumn("__list", F.element_at(assign1(F.col(cvec)), 1))
+    qb = queries.withColumn("__list", F.explode(assignP(F.col(qvec))))
+    cand = (
+        qb.join(cb, "__list")
+        .filter(F.col(qid) != F.col(cid))
+        .select(qid, cid, qvec, cvec)
+        .dropDuplicates([qid, cid])
+        .withColumn("cos_sim", cosine_sim_col(qvec, cvec))
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cos_sim").desc(), F.col(cid).asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(qid, cid, F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )

@@ -173,6 +173,27 @@ class TestSimilarity:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.5, recalls
 
+    def test_ivf_ann_recall_and_determinism(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        sample = emb.filter(F.col("vec_id") < 200).orderBy("vec_id").toPandas()
+        C = similarity.kmeans_fit(np.stack(sample.embedding.to_numpy()), k=8)
+        # deterministic training: same sample -> identical centroids
+        C2 = similarity.kmeans_fit(np.stack(sample.embedding.to_numpy()), k=8)
+        assert (C == C2).all()
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        exact = similarity.cosine_topk(q, emb, k=10).toPandas()
+        approx = similarity.ivf_ann_topk(q, emb, k=10, centroids=C, nprobe=3).toPandas()
+        recalls = []
+        for qid in exact.qid.unique():
+            e = set(exact[exact.qid == qid].vec_id)
+            a = set(approx[approx.qid == qid].vec_id)
+            recalls.append(len(e & a) / len(e))
+        # nprobe=3 of 8 lists scans ~3/8 of the corpus; near-random vectors
+        # give recall well above that fraction because near neighbours
+        # co-locate with the query's lists
+        assert np.mean(recalls) >= 0.4, recalls
+
 
 class TestText:
     def test_annotate_features(self, spark):
