@@ -690,6 +690,45 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
 ORACLES_SQL["dedup_minhash_pairs"] = _minhash_oracle_sql()
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via the df-pruned inverted index
+    (operators/dedup.py:ngram_jaccard_pairs) — deterministic candidates,
+    exact verify; the DuckDB oracle replicates the identical pipeline."""
+    _prep(spark, sf_dir)
+    from a5pg_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.table("documents")
+    return ngram_jaccard_pairs(docs, jaccard_threshold=0.5).orderBy("id_a", "id_b")
+
+
+ORACLES_SQL["dedup_ngram_jaccard"] = r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(1, length(text) - 4) + 1),
+               i -> substring(text, i, 5))) AS shs
+      FROM documents
+    ),
+    post AS (SELECT doc_id, UNNEST(shs) AS g FROM sh),
+    rare AS (SELECT g FROM post GROUP BY g HAVING COUNT(*) <= 100),
+    pruned AS (SELECT p.doc_id, p.g FROM post p JOIN rare USING (g)),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM pruned l JOIN pruned r ON l.g = r.g AND l.doc_id < r.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+    FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(x.shs, y.shs))) AS DOUBLE) AS j
+      FROM cand JOIN sh x ON x.doc_id = cand.id_a JOIN sh y ON y.doc_id = cand.id_b
+    )
+    WHERE j >= 0.5
+    ORDER BY id_a, id_b
+"""
+
+
 def _q_text_annotate(spark, sf_dir):
     """Full text-analysis feature set aggregated per source."""
     _prep(spark, sf_dir)
@@ -1017,6 +1056,7 @@ _OPERATOR_QUERIES = {
     "spatial_join_elephant": _q_spatial_join_elephant,
     "knn_probe_cities": _q_knn_points,
     "dedup_minhash_pairs": _q_dedup_minhash,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
     "text_annotate_agg": _q_text_annotate,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,

@@ -140,6 +140,15 @@ class TestDedup:
         pb = sorted(zip(b.id_a, b.id_b, b.jaccard))
         assert pa == pb
 
+    def test_ngram_jaccard_exact_pairs(self, spark, docs):
+        """The df-pruned inverted index finds the same verified pairs as
+        MinHash-LSH on this corpus — and deterministically (no hashing)."""
+        a = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5).toPandas()
+        b = dedup.ngram_jaccard_pairs(docs, jaccard_threshold=0.5).toPandas()
+        pa = sorted(zip(a.id_a, a.id_b, a.jaccard))
+        pb = sorted(zip(b.id_a, b.id_b, b.jaccard))
+        assert pa == pb
+
     def test_simhash_near_dup(self, spark, docs):
         pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3).toPandas()
         found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
