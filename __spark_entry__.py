@@ -824,6 +824,71 @@ def _srp_oracle_sql(k: int = 5, planes: int = 4, tables: int = 8,
 ORACLES_SQL["embed_ann_srp"] = _srp_oracle_sql()
 
 
+def _q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: SRP bucket join + exact cosine
+    verify (operators/dedup.py:embedding_near_dup_pairs).  Threshold tuned
+    to the near-random synthetic embeddings so the output is non-trivial."""
+    _prep(spark, sf_dir)
+    from a5pg_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = spark.table("embeddings")
+    return embedding_near_dup_pairs(
+        emb, cosine_threshold=0.35, planes=4
+    ).orderBy("id_a", "id_b")
+
+
+def _embed_near_dup_oracle_sql(planes: int = 4, seed: int = 11, dim: int = 64,
+                               threshold: float = 0.35) -> str:
+    """DuckDB replica: same literal projection planes (srp_bucket's layout),
+    same bucket join, exact sequential-fold cosine."""
+    import numpy as np
+
+    from a5pg_spark.operators.similarity import _srp_planes
+
+    P = _srp_planes(dim, planes, seed)
+
+    def bucket(vec: str) -> str:
+        bits = []
+        for i in range(planes):
+            dot = " + ".join(
+                f"(CAST({vec}[{j + 1}] AS DOUBLE) * {float(P[j, i])!r})"
+                for j in range(dim)
+            )
+            bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+        return "(" + " + ".join(bits) + ")"
+
+    def fold_dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {dim + 1}), "
+            f"j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE))), "
+            f"(acc, v) -> acc + v)"
+        )
+
+    cos = (f"({fold_dot('x.embedding', 'y.embedding')} / "
+           f"(sqrt({fold_dot('x.embedding', 'x.embedding')}) * "
+           f"sqrt({fold_dot('y.embedding', 'y.embedding')})))")
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bk FROM embeddings),
+    cand AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM b l JOIN b r ON l.bk = r.bk AND l.vec_id < r.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(c, 6) AS cosine
+    FROM (
+      SELECT id_a, id_b, {cos} AS c
+      FROM cand JOIN embeddings x ON x.vec_id = cand.id_a
+                JOIN embeddings y ON y.vec_id = cand.id_b
+    )
+    WHERE c >= {threshold}
+    ORDER BY id_a, id_b
+"""
+
+
+ORACLES_SQL["dedup_embedding_pairs"] = _embed_near_dup_oracle_sql()
+
+
 def _q_embed_ann_ivf(spark, sf_dir):
     """IVF ANN: k-means coarse quantizer trained on a deterministic sample
     (vec_id < 200), corpus sharded into inverted lists, nprobe=3 probing,
@@ -1060,6 +1125,7 @@ _OPERATOR_QUERIES = {
     "text_annotate_agg": _q_text_annotate,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
+    "dedup_embedding_pairs": _q_embed_near_dup,
     "images_tiling_mosaic": _q_images_tiling,
 }
 
