@@ -41,7 +41,14 @@ STEP = [[tuple(int(x) for x in (DIH[L] @ np.array(t))) for t in T_OPTS]
 N_STATES = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 1800.0
 N_U = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+SKIP = int(sys.argv[4]) if len(sys.argv) > 4 else 0  # resume: skip N configs
 T0 = time.time()
+PROGRESS = "tools/lattice/automaton_progress.log"
+
+
+def log_progress(msg):
+    with open(PROGRESS, "a") as f:
+        f.write(f"{time.strftime('%F %T')} n={N_STATES} nU={N_U} {msg}\n")
 
 
 def digits_of(s):
@@ -63,6 +70,8 @@ def main():
         for eperm in itertools.permutations(range(4)):
             E = [((0, 0), (1, 0), (0, 1), (1, 1))[eperm[c]] for c in range(4)]
             n_outer += 1
+            if n_outer <= SKIP:
+                continue
             if time.time() - T0 > BUDGET:
                 print(f"budget hit after {n_outer - 1} outer configs "
                       f"({time.time() - T0:.0f}s)")
@@ -80,7 +89,9 @@ def main():
                     eye_y[p] = (int(y[0]), int(y[1]))
             if solve(walks, targets, eye_y):
                 print("SOLUTION with G#", Gi, "eperm=", eperm)
+                log_progress(f"SOLUTION G#{Gi} eperm={eperm}")
                 return
+            log_progress(f"refuted outer config {n_outer} (G#{Gi} eperm={eperm})")
     print(f"no solution in restricted family (n={N_STATES}, nU={N_U}; "
           f"{n_outer} outer configs, {time.time() - T0:.0f}s)")
 
