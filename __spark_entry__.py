@@ -1063,9 +1063,13 @@ def _q_stream_dedup(spark, sf_dir):
 
     import pyspark.sql.functions as F
 
-    from a5pg_spark.streaming.ingest import streaming_dedup
+    from a5pg_spark.streaming.ingest import drain_available_now, streaming_dedup
 
     _prep(spark, sf_dir)
+    # harness may hand us a session without session.py's defaults; this conf
+    # is runtime-settable and REQUIRED for availableNow to terminate (pending
+    # ProcessingTimeTimeouts otherwise spin no-data batches for the whole TTL)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     base = os.path.abspath(f"spark-warehouse/streams/dedup_{key}")
     src, sink, ck = f"{base}/src", f"{base}/sink", f"{base}/ck"
@@ -1093,7 +1097,10 @@ def _q_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # noDataMicroBatches is off in session.py, so availableNow terminates as
+    # soon as both files are processed (~7 s); the helper force-stops + raises
+    # on overrun so a hung stream can never leak into later queries.
+    drain_available_now(q, timeout=120)
     return (
         spark.read.parquet(sink)
         .groupBy()

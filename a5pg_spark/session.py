@@ -59,6 +59,15 @@ def get_spark(
         # (measured: 7.4 MB plan / 199k duplicated subtrees, 388 s for a 40k-row
         # broadcast join that runs in 0.5 s with this off)
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # availableNow + applyInPandasWithState(ProcessingTimeTimeout): with
+        # no-data micro-batches ON (default), pending state timeouts (e.g. the
+        # 60-min dedup TTL) make the engine loop "no new data but cleaning up
+        # state" batches until every timeout fires — the query never
+        # terminates (measured: 300 s+ burn, leaked stream at session stop).
+        # OFF means timeouts expire lazily on the next data batch, which is
+        # the semantics the TTL wants, and availableNow terminates as soon as
+        # the source is drained (measured: 7 s).
+        .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -15,6 +15,28 @@ from pyspark.sql import functions as F
 from ..functions import a5_lonlat_to_cell
 
 
+def drain_available_now(q, timeout: int = 120) -> None:
+    """Deterministically finish an ``availableNow`` query.
+
+    ``awaitTermination`` alone can silently burn its whole timeout (and leak
+    the still-running stream) if the engine keeps scheduling batches — e.g.
+    pending state timeouts with no-data micro-batches enabled.  This helper
+    (a) waits, (b) force-stops on overrun so no query ever outlives the call,
+    and (c) raises so harnesses fail loudly instead of racing the sink.
+    """
+    ok = q.awaitTermination(timeout)
+    if not ok:
+        try:
+            q.stop()
+            q.awaitTermination(30)
+        finally:
+            pass
+        raise RuntimeError(
+            f"availableNow query did not terminate within {timeout}s "
+            "(force-stopped); check noDataMicroBatches / state timeouts"
+        )
+
+
 def rate_points_stream(spark: SparkSession, rows_per_sec: int = 1000) -> DataFrame:
     """Demo source: rate stream → deterministic capture points (same phash
     derivation as the images table)."""

@@ -57,7 +57,7 @@ def _rows(batch, ids):
 
 
 def test_streaming_dedup_across_microbatches(spark, src_dir, tmp_path_factory):
-    from a5pg_spark.streaming.ingest import streaming_dedup
+    from a5pg_spark.streaming.ingest import drain_available_now, streaming_dedup
 
     # batch 1: ids 1,2,3 (+ in-batch dup of 1); batch 2: ids 2,3,4,5
     _write_batch(spark, src_dir, _rows(0, [1, 1, 2, 3]), 1)
@@ -78,7 +78,7 @@ def test_streaming_dedup_across_microbatches(spark, src_dir, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q, timeout=120)
     got = {r.image_id for r in spark.sql("SELECT image_id FROM dedup_out").collect()}
     n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
     assert got == {"img-1", "img-2", "img-3", "img-4", "img-5"}
@@ -87,7 +87,7 @@ def test_streaming_dedup_across_microbatches(spark, src_dir, tmp_path_factory):
 
 def test_streaming_cell_counts_watermarked(spark, src_dir, tmp_path_factory):
     from a5pg_spark import functions as A
-    from a5pg_spark.streaming.ingest import streaming_cell_counts
+    from a5pg_spark.streaming.ingest import drain_available_now, streaming_cell_counts
 
     A.register(spark)
     _write_batch(spark, src_dir, _rows(0, [1, 2, 3, 4]), 1)
@@ -108,7 +108,7 @@ def test_streaming_cell_counts_watermarked(spark, src_dir, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_available_now(q, timeout=120)
     rows = spark.sql("SELECT * FROM cells_out").collect()
     assert sum(r.n for r in rows) == 6
     # all points land near NYC → one res-3 parent cell
@@ -121,7 +121,7 @@ def test_streaming_cell_counts_watermarked(spark, src_dir, tmp_path_factory):
 def test_streaming_dedup_resumes_from_checkpoint(spark, src_dir, tmp_path_factory):
     """Checkpoint-resume: a second availableNow run over a grown directory
     picks up where the first stopped — previously-seen keys stay deduped."""
-    from a5pg_spark.streaming.ingest import streaming_dedup
+    from a5pg_spark.streaming.ingest import drain_available_now, streaming_dedup
 
     ck = str(tmp_path_factory.mktemp("ck3"))
     sink = str(tmp_path_factory.mktemp("sink3"))
@@ -142,7 +142,7 @@ def test_streaming_dedup_resumes_from_checkpoint(spark, src_dir, tmp_path_factor
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain_available_now(q, timeout=120)
 
     run()
     out1 = spark.read.parquet(sink)
