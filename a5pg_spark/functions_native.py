@@ -40,7 +40,58 @@ def _gather(table: np.ndarray, idx: Column) -> Column:
     return F.element_at(F.array(*[F.lit(float(v)) for v in table]), idx + F.lit(1))
 
 
-def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell"):
+def _s_unrolled(d7, keep: list, depth: int):
+    """Sierpiński quaternary loop unrolled into 2 selects per bisection step.
+
+    Each step stays a small codegen'd projection over the previous step's
+    attributes, so the whole chain fuses into whole-stage codegen (the
+    aggregate() HOF form is interpreted — measured ~4 k rows/s/core vs
+    ~10× here).  Two selects per step: the shared midpoint/orientation test
+    (``__bb``) is materialized once, then the P/Q/R update references it —
+    ``__bb`` is non-cheap and multiply-referenced, which is exactly what
+    keeps CollapseProject from re-merging the stages into an exponential
+    single projection.
+    """
+    kq = [f"`{c}`" for c in keep]
+    cur = d7.selectExpr(
+        *kq,
+        f"{float(TRI_ENTRY[0])!r}D AS __sax",
+        f"{float(TRI_ENTRY[1])!r}D AS __say",
+        f"{float(TRI_APEX[0])!r}D AS __sbx",
+        f"{float(TRI_APEX[1])!r}D AS __sby",
+        f"{float(TRI_EXIT[0])!r}D AS __scx",
+        f"{float(TRI_EXIT[1])!r}D AS __scy",
+        "CAST(0 AS BIGINT) AS __ss",
+    )
+    # SQL strings, not Column ops: one py4j round trip per stage instead of
+    # hundreds (measured: plan build 3.8 s -> ~1 s warm for depth 18); the
+    # arithmetic is the identical double-precision op order as the NumPy
+    # kernel, with shortest-repr literals (bit-exact through parse).  One
+    # select per bisection step; ``bb`` is textually repeated but runtime
+    # subexpression elimination evaluates it once per row, and the
+    # multiply-referenced non-cheap IFs keep CollapseProject from merging
+    # steps into an exponential single projection.
+    mx = "((__sax + __scx) * 0.5D)"
+    my = "((__say + __scy) * 0.5D)"
+    bb = (f"((({mx} - __sbx) * (__py - __sby) - ({my} - __sby) * (__px - __sbx))"
+          f" * (({mx} - __sbx) * (__say - __sby) - ({my} - __sby) * (__sax - __sbx))"
+          " < 0.0D)")
+    for _ in range(depth):
+        cur = cur.selectExpr(
+            *kq,
+            f"IF({bb}, __sbx, __sax) AS __sax",
+            f"IF({bb}, __sby, __say) AS __say",
+            f"{mx} AS __sbx",
+            f"{my} AS __sby",
+            f"IF({bb}, __scx, __sbx) AS __scx",
+            f"IF({bb}, __scy, __sby) AS __scy",
+            f"shiftleft(__ss, 1) | CAST({bb} AS BIGINT) AS __ss",
+        )
+    return cur
+
+
+def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell",
+                  s_mode: str = "unroll"):
     """DataFrame transform: add ``out_col`` = A5 cell id of (lon, lat) at
     ``res`` — entirely JVM-side (no Python workers).
 
@@ -54,27 +105,38 @@ def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell
     if res < 0 or res > bits.MAX_RES:
         raise ValueError(f"resolution out of range 0..{bits.MAX_RES}")
     others = df.columns
+    oq = [f"`{c}`" for c in others]
 
-    lonr, latr = F.radians(F.col(lon_col)), F.radians(F.col(lat_col))
-    cl = F.cos(latr)
-    d1 = df.select(
-        *others,
-        (cl * F.cos(lonr)).alias("__vx"),
-        (cl * F.sin(lonr)).alias("__vy"),
-        F.sin(latr).alias("__vz"),
+    # All stages are SQL expression strings: one py4j round trip per select
+    # instead of one per Column op (measured: plan build 3.8 s -> <1 s for the
+    # res-10 pipeline).  Literals are shortest-repr doubles ('D' suffix),
+    # which parse bit-exactly; operator order mirrors the NumPy kernel.
+    def L(v) -> str:
+        return repr(float(v)) + "D"
+
+    d1 = df.selectExpr(
+        *oq,
+        f"cos(radians(`{lat_col}`)) * cos(radians(`{lon_col}`)) AS __vx",
+        f"cos(radians(`{lat_col}`)) * sin(radians(`{lon_col}`)) AS __vy",
+        f"sin(radians(`{lat_col}`)) AS __vz",
     )
 
     # face = argmax over the 12 axes (first max wins, same as np.argmax)
-    vx, vy, vz = F.col("__vx"), F.col("__vy"), F.col("__vz")
-    dots = [
-        F.lit(float(a[0])) * vx + F.lit(float(a[1])) * vy + F.lit(float(a[2])) * vz
-        for a in FACE_AXES
+    # dots as lateral column aliases: keeps the argmax string small (the
+    # naive inline form repeats every dot 13x and costs ~0.3 s of parse time)
+    dot_aliases = [
+        f"{L(a[0])} * __vx + {L(a[1])} * __vy + {L(a[2])} * __vz AS __d{i}"
+        for i, a in enumerate(FACE_AXES)
     ]
-    mx = F.greatest(*dots)
-    expr = F.when(dots[0] == mx, F.lit(0))
-    for f in range(1, 12):
-        expr = expr.when(dots[f] == mx, F.lit(f))
-    d2 = d1.select(*others, "__vx", "__vy", "__vz", expr.cast("int").alias("__face"))
+    dnames = [f"__d{i}" for i in range(12)]
+    mx = f"greatest({', '.join(dnames)})"
+    case = "CASE " + " ".join(
+        f"WHEN __d{f} = {mx} THEN {f}" for f in range(12)
+    ) + " END"
+    d2 = d1.selectExpr(
+        *oq, "__vx", "__vy", "__vz", *dot_aliases,
+        f"CAST({case} AS INT) AS __face",
+    )
 
     if res == 0:
         u = F.shiftleft(F.col("__face").cast("bigint"), 58).bitwiseOR(
@@ -83,53 +145,58 @@ def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell
         return d2.select(*others, u.cast("long").alias(out_col))
 
     # rotate into the face frame: w = R[face] @ v (9 literal-array gathers)
-    face = F.col("__face")
+    def G(table) -> str:
+        vals = ", ".join(L(v) for v in table)
+        return f"element_at(array({vals}), __face + 1)"
+
     R = FACE_ROT
-    wz = _gather(R[:, 2, 0], face) * vx + _gather(R[:, 2, 1], face) * vy + _gather(R[:, 2, 2], face) * vz
-    wx = _gather(R[:, 0, 0], face) * vx + _gather(R[:, 0, 1], face) * vy + _gather(R[:, 0, 2], face) * vz
-    wy = _gather(R[:, 1, 0], face) * vx + _gather(R[:, 1, 1], face) * vy + _gather(R[:, 1, 2], face) * vz
-    z = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), wz)))
-    az = F.atan2(wy, wx)
-    azl = F.pmod(_gather(_SIGNS, face) * (az - _gather(_ALPHAS, face)), F.lit(2.0 * PI))
-    d3 = d2.select(
-        *others, "__face", z.alias("__z"), azl.alias("__azl"),
+    wz = f"{G(R[:, 2, 0])} * __vx + {G(R[:, 2, 1])} * __vy + {G(R[:, 2, 2])} * __vz"
+    wx = f"{G(R[:, 0, 0])} * __vx + {G(R[:, 0, 1])} * __vy + {G(R[:, 0, 2])} * __vz"
+    wy = f"{G(R[:, 1, 0])} * __vx + {G(R[:, 1, 1])} * __vy + {G(R[:, 1, 2])} * __vz"
+    d3 = d2.selectExpr(
+        *oq, "__face",
+        f"acos(greatest(-1.0D, least(1.0D, {wz}))) AS __z",
+        f"pmod({G(_SIGNS)} * (atan2({wy}, {wx}) - {G(_ALPHAS)}), {L(2.0 * PI)}) AS __azl",
     )
 
-    azl = F.col("__azl")
-    q = F.least(F.floor(azl / F.lit(TWO_PI_OVER_5)).cast("int"), F.lit(4))
-    d4 = d3.select(*others, "__face", "__z", "__azl", q.alias("__q"))
+    d4 = d3.selectExpr(
+        *oq, "__face", "__z", "__azl",
+        f"least(CAST(floor(__azl / {L(TWO_PI_OVER_5)}) AS INT), 4) AS __q",
+    )
 
-    b = F.col("__azl") - F.lit(TWO_PI_OVER_5) * F.col("__q") - F.lit(PI_OVER_5)
-    d5 = d4.select(
-        *others, "__face", "__z", "__q",
-        F.abs(b).alias("__a"),
-        F.when(b < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("__mirror"),
+    b = f"(__azl - {L(TWO_PI_OVER_5)} * __q - {L(PI_OVER_5)})"
+    d5 = d4.selectExpr(
+        *oq, "__face", "__z", "__q",
+        f"abs({b}) AS __a",
+        f"IF({b} < 0, -1.0D, 1.0D) AS __mirror",
     )
 
     # equal-area sector warp (projection.py closed forms)
-    a = F.col("__a")
-    area = a - F.asin(F.sin(a) / F.lit(float(_K)))
-    d6 = d5.select(
-        *others, "__face", "__z", "__q", "__a", "__mirror",
-        F.atan(F.lit(float(TAN_36)) * area / F.lit(float(AREA_TOT))).alias("__ap"),
+    area = f"(__a - asin(sin(__a) / {L(_K)}))"
+    d6 = d5.selectExpr(
+        *oq, "__face", "__z", "__q", "__a", "__mirror",
+        f"atan({L(TAN_36)} * {area} / {L(AREA_TOT)}) AS __ap",
     )
 
-    a, ap, z = F.col("__a"), F.col("__ap"), F.col("__z")
-    ca = F.cos(a)
-    cze = ca / F.sqrt(ca * ca + F.lit(float(TAN_DM * TAN_DM)))
-    re = F.lit(float(TAN_DM)) / F.cos(ap)
-    ratio = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.cos(z)) / (F.lit(1.0) - cze))
-    d7 = d6.select(
-        *others, "__face", "__q",
-        (re * ratio * F.cos(ap)).alias("__px"),
-        (re * ratio * F.sin(ap) * F.col("__mirror")).alias("__py"),
+    cze = f"(cos(__a) / sqrt(cos(__a) * cos(__a) + {L(TAN_DM * TAN_DM)}))"
+    re = f"({L(TAN_DM)} / cos(__ap))"
+    ratio = f"sqrt(greatest(0.0D, 1.0D - cos(__z)) / (1.0D - {cze}))"
+    d7 = d6.selectExpr(
+        *oq, "__face", "__q",
+        f"{re} * {ratio} * cos(__ap) AS __px",
+        f"{re} * {ratio} * sin(__ap) * __mirror AS __py",
     )
 
-    # Sierpinski quaternary loop as ONE aggregate() with a struct accumulator
-    # over plain attribute refs (interpreted HOF, but ~20 flops x depth each)
+    # Sierpinski quaternary loop: "unroll" = 2 codegen'd selects per step
+    # (default, whole-stage codegen); "hof" = ONE aggregate() with a struct
+    # accumulator (interpreted, constant plan size — kept for very high res)
     depth = 2 * (res - 1)
     if depth == 0:
         s_col = F.lit(0).cast("bigint")
+    elif s_mode == "unroll":
+        cur = _s_unrolled(d7, [*others, "__face", "__q", "__px", "__py"], depth)
+        d8 = cur.select(*others, "__face", "__q", F.col("__ss").alias("__s"))
+        s_col = None
     else:
         init = F.struct(
             F.lit(float(TRI_ENTRY[0])).alias("Px"), F.lit(float(TRI_ENTRY[1])).alias("Py"),
@@ -164,7 +231,8 @@ def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell
             F.sequence(F.lit(1), F.lit(depth)), init, step, lambda acc: acc["s"]
         )
 
-    d8 = d7.select(*others, "__face", "__q", s_col.alias("__s"))
+    if s_col is not None:
+        d8 = d7.select(*others, "__face", "__q", s_col.alias("__s"))
 
     origin = (F.lit(5) * F.col("__face") + F.col("__q")).cast("bigint")
     p = 59 - 2 * res
@@ -173,4 +241,16 @@ def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell
         .bitwiseOR(F.shiftleft(F.col("__s"), p + 1))
         .bitwiseOR(F.lit(1 << p).cast("bigint"))
     )
-    return d8.select(*others, u.cast("long").alias(out_col))
+    cell = u.cast("long")
+    if s_mode == "unroll":
+        # Optimizer barrier: a constant-true nondeterministic guard (value is
+        # always `cell`, bit-exact).  Without it, PushDownPredicates rewrites
+        # any downstream join/filter condition on the cell THROUGH the ~25
+        # unrolled projections, substituting the whole chain at each level —
+        # an exponential expression tree (measured: spatial_join planning
+        # went 8 s -> stuck >400 s in catalyst transformUp).  Nondeterministic
+        # aliases are a substitution fence; predicates on the *inputs* are
+        # applied before the encode by construction, so nothing of value is
+        # lost at the scan.
+        cell = F.when(F.rand(17) > F.lit(-1.0), cell)
+    return d8.select(*others, cell.alias(out_col))

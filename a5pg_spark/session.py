@@ -68,6 +68,13 @@ def get_spark(
         # the semantics the TTL wants, and availableNow terminates as soon as
         # the source is drained (measured: 7 s).
         .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        # HotSpot refuses to JIT-compile methods over ~8 KB of bytecode
+        # (DontCompileHugeMethods): the unrolled res>=9 encode fuses ~25
+        # projections into one whole-stage-codegen method that crosses that
+        # line and silently runs interpreted — measured 4x cliff (2.5M ->
+        # 0.6M rows/s) between depth 14 and 16.  Disabling the guard restores
+        # compiled execution: 1.8M rows/s at res 10, flat through res 12.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

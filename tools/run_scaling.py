@@ -26,7 +26,10 @@ COMMON = [
     # fixed-size pre-touched heap + ParallelGC: lazy heap growth on this
     # microVM produced an 80%-system-time page-fault/TLB storm at local[32]
     # (encode collapsed 60k -> 9k rows/s; with these flags it recovers)
-    "--driver-java-options", "-Xms20g -XX:+AlwaysPreTouch -XX:+UseParallelGC",
+    # -XX:-DontCompileHugeMethods: the unrolled native encode's fused
+    # codegen method exceeds HotSpot's 8 KB JIT guard (session.py note)
+    "--driver-java-options",
+    "-Xms20g -XX:+AlwaysPreTouch -XX:+UseParallelGC -XX:-DontCompileHugeMethods",
     "--conf", "spark.sql.constraintPropagation.enabled=false",  # session.py note
     "--conf", "spark.sql.adaptive.enabled=true",
     "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
