@@ -757,7 +757,7 @@ def _q_embed_ann_srp(spark, sf_dir):
     emb = spark.table("embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    return srp_ann_topk(q, emb, k=5, planes=4, tables=8).orderBy("qid", "rk")
+    return srp_ann_topk(q, emb, k=5, planes=4, tables=8, dim=64).orderBy("qid", "rk")
 
 
 def _srp_oracle_sql(k: int = 5, planes: int = 4, tables: int = 8,
@@ -833,7 +833,7 @@ def _q_embed_near_dup(spark, sf_dir):
 
     emb = spark.table("embeddings")
     return embedding_near_dup_pairs(
-        emb, cosine_threshold=0.35, planes=4
+        emb, cosine_threshold=0.35, planes=4, dim=64
     ).orderBy("id_a", "id_b")
 
 

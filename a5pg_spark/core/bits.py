@@ -195,9 +195,14 @@ def compact(cells) -> np.ndarray:
             if r < 1:
                 continue
             p = int(cell_to_parent(np.array([c], dtype=np.int64), r - 1)[0])
-            by_parent.setdefault(p, set()).add(c)
-        for p, group in by_parent.items():
+            by_parent.setdefault((p, r), set()).add(c)
+        for (p, r), group in by_parent.items():
             pres = int(get_resolution(np.array([p], dtype=np.int64))[0])
+            if pres != r - 1:
+                # id-space alias: res-2 quintant-0 cells on faces 0-2 collapse
+                # onto the face's res-0 id (DESIGN.md §3); their res-1 parent
+                # is unrepresentable, so the group can never compact.
+                continue
             expected = set(int(k) for k in cell_to_children(p, pres + 1))
             if expected <= group:
                 cur -= expected

@@ -188,16 +188,39 @@ def _strict_mask(*series) -> pd.Series:
     return m
 
 
-def _ids_i64(cell: pd.Series) -> np.ndarray:
-    """LongType series → int64 ndarray without a float64 intermediate.
+def _ids_i64(cell: pd.Series, validate: bool = True) -> np.ndarray:
+    """LongType series → int64 ndarray, exact for null-free batches.
 
-    ``to_numpy(dtype="float64")`` silently corrupts ids with > 53 significant
-    bits (res ≥ ~25) — a res-28 id would round-trip to a *different* cell.
+    Null-free Arrow batches arrive int64-backed and cast exactly.  A batch
+    that CONTAINS nulls is converted to float64 by Spark's Arrow→pandas
+    serializer *before* this function sees it (no types_mapper hook in
+    pyspark 4.1), so ids with > 53 significant bits (res ≥ 25) are already
+    corrupted on arrival; silently decoding a *different* cell is worse than
+    failing, so that case raises.  Workaround for callers who need res ≥ 25
+    with nulls: pre-filter nulls or wrap the argument in ``coalesce(c, 0)``
+    and restore nulls outside the UDF (keeps the Arrow batch int64-backed).
     Nulls (masked separately by callers) become 0 here.
     """
     if cell.dtype == np.int64:
         return cell.to_numpy()
-    # nullable Int64 / object / float-backed: fill NAs then cast exactly
+    if cell.dtype == np.float64:
+        # A valid id's significant span is 5 + 2*res bits, so res <= 24 ids
+        # survive the float64 trip exactly (regardless of magnitude); a
+        # res >= 25 id gets its low bits rounded away, which (a) moves the
+        # marker bit and (b) usually breaks the odd/even marker-position
+        # parity — so validity-check what arrived instead of guessing
+        nn = ~cell.isna().to_numpy()
+        ids = cell.fillna(0.0).to_numpy().astype("int64")
+        if validate and nn.any() and not bits.is_valid_i64(ids[nn]).all():
+            raise ValueError(
+                "cell-id batch with nulls arrived float64-backed and carries "
+                "invalid id bit patterns — for res >= 25 ids, precision is "
+                "lost in Spark's Arrow->pandas conversion before the UDF "
+                "runs. Pre-filter nulls or pass coalesce(cell, 0) so the "
+                "batch stays int64-backed."
+            )
+        return ids
+    # nullable Int64 / object: direct exact cast, no float64 intermediate
     return cell.fillna(0).astype("int64").to_numpy()
 
 
@@ -283,7 +306,9 @@ def _cell_to_boundary_udf(
 
 @pandas_udf(BooleanType())
 def _is_valid_i64_udf(cell: pd.Series) -> pd.Series:
-    ids = _ids_i64(cell)
+    # validate=False: this function's whole job is to report invalid ids,
+    # so the float64-corruption guard in _ids_i64 must not raise here
+    ids = _ids_i64(cell, validate=False)
     return pd.Series(bits.is_valid_i64(ids))
 
 

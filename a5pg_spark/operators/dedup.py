@@ -254,12 +254,13 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              cosine_threshold: float = 0.95,
-                             planes: int = 16, seed: int = 11) -> DataFrame:
+                             planes: int = 16, seed: int = 11,
+                             dim: int | None = None) -> DataFrame:
     """Embedding near-dups: sign-random-projection bucket join, exact cosine
     verify inside buckets (see similarity.srp_bucket for the bucketing)."""
     from .similarity import srp_bucket, cosine_sim_col
 
-    b = srp_bucket(df, vec_col, planes=planes, seed=seed)
+    b = srp_bucket(df, vec_col, planes=planes, seed=seed, dim=dim)
     l, r = b.alias("l"), b.alias("r")
     cand = l.join(
         r,

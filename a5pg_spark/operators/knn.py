@@ -76,7 +76,17 @@ def knn_join(
         ),
         "plon", "plat", res, "pcell",
     ).persist()
+    try:
+        return _knn_ladder(q, p, k, res, deltas, query_id, point_id)
+    finally:
+        # repeated knn_join calls in one session must not accumulate executor
+        # storage (round-3 ADVICE); the result is eagerly checkpointed inside
+        # _knn_ladder before the caches are dropped
+        q.unpersist()
+        p.unpersist()
 
+
+def _knn_ladder(q, p, k, res, deltas, query_id, point_id) -> DataFrame:
     # escalation ladder: the configured deltas, then one final coarse round at
     # res 2 (clearance bounds need target >= 2 — res-1 quintants 0-11 alias
     # res-0 faces and would overestimate clearance) before conceding to the
@@ -123,7 +133,7 @@ def knn_join(
             F.broadcast(done_ids), query_id, "left_anti"
         ).localCheckpoint(eager=True)
         if remaining.isEmpty():
-            return result
+            return result.localCheckpoint(eager=True)
     # exact global fallback for still-unsatisfied queries
     cand = remaining.crossJoin(p).withColumn(
         "dist_m", haversine_m(F.col("qlon"), F.col("qlat"), F.col("plon"), F.col("plat"))
@@ -134,4 +144,6 @@ def knn_join(
         .filter(F.col("rk") <= k)
         .select(query_id, point_id, "dist_m", "rk")
     )
-    return result.unionByName(topk) if result is not None else topk
+    out = result.unionByName(topk) if result is not None else topk
+    # materialize before the caller's finally drops the q/p caches
+    return out.localCheckpoint(eager=True)

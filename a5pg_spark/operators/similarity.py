@@ -59,13 +59,16 @@ def _srp_planes(dim: int, planes: int, seed: int) -> np.ndarray:
 
 
 def srp_bucket(df: DataFrame, vec_col: str = "embedding", planes: int = 16,
-               seed: int = 11, out_col: str = "__bucket") -> DataFrame:
+               seed: int = 11, out_col: str = "__bucket",
+               dim: int | None = None) -> DataFrame:
     """Add a sign-random-projection bucket id (one NumPy matmul per Arrow
-    batch — vectorized across rows)."""
+    batch — vectorized across rows).  Pass ``dim`` to skip the one-row
+    dimension-probe driver job (round-3 ADVICE: no ``.first()`` in ANN
+    plans when the caller knows the embedding width)."""
     spark = df.sparkSession
-    # probe dimension from one row (planes must be deterministic per session)
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first.d)
+    if dim is None:
+        # probe dimension from one row (planes must be deterministic per session)
+        dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first().d)
     P = _srp_planes(dim, planes, seed)
     bc = spark.sparkContext.broadcast(P)
 
@@ -81,12 +84,15 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding", planes: int = 16,
 
 
 def srp_buckets_all(df: DataFrame, vec_col: str, planes: int, tables: int,
-                    seed: int, out_col: str = "__tb") -> DataFrame:
+                    seed: int, out_col: str = "__tb",
+                    dim: int | None = None) -> DataFrame:
     """Explode each row into ``tables`` bucket keys computed in ONE matmul:
     key = table_index * 2^planes + bucket.  One corpus scan serves every
-    table (round 1 scanned the corpus once per table)."""
+    table (round 1 scanned the corpus once per table).  Pass ``dim`` to skip
+    the one-row dimension-probe driver job."""
     spark = df.sparkSession
-    dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first().d)
+    if dim is None:
+        dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first().d)
     P = np.concatenate(
         [_srp_planes(dim, planes, seed + t) for t in range(tables)], axis=1
     )  # (dim, tables*planes)
@@ -109,13 +115,17 @@ def srp_buckets_all(df: DataFrame, vec_col: str, planes: int, tables: int,
 def srp_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
                  qid: str = "qid", cid: str = "vec_id",
                  qvec: str = "qe", cvec: str = "embedding",
-                 planes: int = 12, tables: int = 4, seed: int = 11) -> DataFrame:
+                 planes: int = 12, tables: int = 4, seed: int = 11,
+                 dim: int | None = None) -> DataFrame:
     """Approximate top-k: ``tables`` independent SRP tables in a SINGLE pass
     per side (all buckets from one matmul, exploded with a table tag), one
     equi-join on the tagged bucket, exact cosine rank within candidates.
     The join is broadcastable/AQE-skew-splittable at scale."""
-    qb = srp_buckets_all(queries, qvec, planes, tables, seed)
-    cb = srp_buckets_all(corpus, cvec, planes, tables, seed)
+    if dim is None:
+        # one probe shared by both sides (queries are the small side)
+        dim = int(queries.select(F.size(F.col(qvec)).alias("d")).first().d)
+    qb = srp_buckets_all(queries, qvec, planes, tables, seed, dim=dim)
+    cb = srp_buckets_all(corpus, cvec, planes, tables, seed, dim=dim)
     cand = (
         qb.join(cb, "__tb")
         .filter(F.col(qid) != F.col(cid))

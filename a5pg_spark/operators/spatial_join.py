@@ -156,6 +156,11 @@ def exact_cover_cells(poly: list, res: int) -> tuple:
 
     from ..core.areas import cell_area
 
+    if res < 2:
+        # the descent starts at res 2; silently returning an empty cover for
+        # coarser resolutions was a footgun (round-3 ADVICE) — refuse loudly
+        raise ValueError("exact_cover_cells requires res >= 2")
+
     rings = [np.asarray(r, dtype=np.float64) for r in poly]
     E = []
     for r in rings:
@@ -208,10 +213,22 @@ def exact_cover_cells(poly: list, res: int) -> tuple:
     return np.concatenate(out_cells), np.concatenate(out_int)
 
 
+# bumped whenever exact_cover_cells/_classify_cells semantics change — part
+# of the disk-cache key so stale covers from spark-warehouse/covers/ are
+# never served across algorithm revisions (round-3 ADVICE)
+_COVER_ALGO_VERSION = 2
+
 # (geom_json, res) → cover pandas DataFrame; covers are polygon-layer-sized
 # (the small dimension side) and reused across spatial_join calls — the ~4 s
 # per-call cover cost measured in round 1 is paid once per layer now.
 _COVER_CACHE: dict = {}
+_COVER_CACHE_MAX = 32  # keys embed full geom_json strings — bound the memory
+
+
+def _cover_cache_put(key, value):
+    if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
+        _COVER_CACHE.pop(next(iter(_COVER_CACHE)))  # FIFO: oldest insertion
+    _COVER_CACHE[key] = value
 
 
 def polygon_cover(
@@ -244,7 +261,7 @@ def polygon_cover(
                 hit = _COVER_CACHE.get(key)
                 if hit is None:
                     hit = exact_cover_cells(poly, res)
-                    _COVER_CACHE[key] = hit
+                    _cover_cache_put(key, hit)
                 ids, interior = hit
                 out_part.extend([part] * len(ids))
                 out_cell.extend(int(c) for c in ids)
@@ -336,7 +353,8 @@ def spatial_join(
         # round 1's dominant fixed cost (~4 s).  Broadcasting a raw
         # applyInPandas plan would also re-run its Python stage inside the
         # broadcast exchange.
-        key = (tuple(sorted((r[0], len(r[1]), r[3], r[4]) for r in edge_rows)),
+        key = (_COVER_ALGO_VERSION,
+               tuple(sorted((r[0], len(r[1]), r[3], r[4]) for r in edge_rows)),
                json.dumps(sorted(x.geom_json for x in polygons.select("geom_json").collect())),
                res)
         cover_pd = _COVER_CACHE.get(("materialized",) + key)
@@ -357,7 +375,7 @@ def spatial_join(
                 tmp = cache_path + ".tmp"
                 cover_pd.to_parquet(tmp)
                 _os.replace(tmp, cache_path)
-            _COVER_CACHE[("materialized",) + key] = cover_pd
+            _cover_cache_put(("materialized",) + key, cover_pd)
         cover = spark.createDataFrame(cover_pd, COVER_SCHEMA)
         cover_full = F.broadcast(
             spark.createDataFrame(

@@ -80,7 +80,8 @@ class SnapshotTable:
         return list(reversed(out))
 
     # --------------------------------------------------------------- writes
-    def _write_files(self, df: DataFrame, sort_col: str | None) -> tuple[str, list]:
+    def _write_files(self, df: DataFrame, sort_col: str | None,
+                     cell_col: str | None = None) -> tuple[str, list]:
         snap_dir = os.path.join(self.data_dir, f"snap-{uuid.uuid4().hex[:12]}")
         w = df
         if sort_col is not None:
@@ -107,10 +108,31 @@ class SnapshotTable:
                 "path": path, "rows": md.num_rows,
                 "bytes": os.path.getsize(path), "min": lo, "max": hi,
             })
+        if cell_col is not None and files:
+            # per-partition "cells" metric (north-rule manifest tuple:
+            # rows, cells, bytes, skew): one distributed pass grouped by
+            # file — exact count_distinct here for test determinism; at
+            # 100 TB swap to approx_count_distinct or fold the counter into
+            # the write job itself (custom commit protocol) to avoid the
+            # read-back
+            from pyspark.sql import functions as F
+
+            per = (
+                df.sparkSession.read.parquet(snap_dir)
+                .groupBy(
+                    F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+                )
+                .agg(F.count_distinct(cell_col).alias("c"))
+                .collect()
+            )
+            cmap = {r["__f"]: int(r["c"]) for r in per}
+            for f in files:
+                f["cells"] = cmap.get(os.path.basename(f["path"]), 0)
         return snap_dir, files
 
     def _commit(self, operation: str, files: list, schema_json: str,
-                sort_col: str | None, retain_previous: bool) -> dict:
+                sort_col: str | None, retain_previous: bool,
+                lineage: dict | None = None) -> dict:
         os.makedirs(self.meta_dir, exist_ok=True)
         for _ in range(20):  # optimistic retry loop
             cur = self._current_version()
@@ -132,9 +154,15 @@ class SnapshotTable:
                 "schema": schema_json,
                 "sort_col": sort_col,
                 "files": all_files,
+                "lineage": lineage,
                 "metrics": {"rows": rows, "bytes": nbytes,
                             "n_files": len(all_files),
-                            "skew_ratio": round(skew, 4)},
+                            "skew_ratio": round(skew, 4),
+                            # sum of per-file distinct cell counts (files on
+                            # a range-sorted table cover disjoint ranges, so
+                            # this is ~the table's distinct-cell count)
+                            "cells": sum(f.get("cells", 0) for f in all_files)
+                            if any("cells" in f for f in all_files) else None},
             }
             vpath = os.path.join(self.meta_dir, f"v{version}.json")
             try:
@@ -151,15 +179,29 @@ class SnapshotTable:
             return manifest
         raise CommitConflict(f"gave up after 20 optimistic retries: {self.root}")
 
-    def append(self, df: DataFrame, sort_col: str | None = None) -> dict:
+    def append(self, df: DataFrame, sort_col: str | None = None,
+               cell_col: str | None = None, lineage: dict | None = None) -> dict:
         m = self.manifest()
         sort_col = sort_col or (m and m.get("sort_col"))
-        _, files = self._write_files(df, sort_col)
-        return self._commit("append", files, df.schema.json(), sort_col, True)
+        _, files = self._write_files(df, sort_col, cell_col)
+        return self._commit("append", files, df.schema.json(), sort_col, True,
+                            lineage)
 
-    def overwrite(self, df: DataFrame, sort_col: str | None = None) -> dict:
-        _, files = self._write_files(df, sort_col)
-        return self._commit("overwrite", files, df.schema.json(), sort_col, False)
+    def overwrite(self, df: DataFrame, sort_col: str | None = None,
+                  cell_col: str | None = None, lineage: dict | None = None) -> dict:
+        _, files = self._write_files(df, sort_col, cell_col)
+        return self._commit("overwrite", files, df.schema.json(), sort_col,
+                            False, lineage)
+
+    def snapshot_for_lineage(self, key: dict) -> dict | None:
+        """Most recent committed snapshot whose ``lineage`` equals ``key``
+        exactly (stage name + stage version + input snapshot ids) — the
+        resume lookup for :func:`run_stage`.  O(versions) metadata reads,
+        never touches data files."""
+        for m in reversed(self.snapshots()):
+            if m.get("lineage") == key:
+                return m
+        return None
 
     @classmethod
     def create(cls, root: str, df: DataFrame, sort_col: str | None = None) -> "SnapshotTable":
@@ -199,3 +241,60 @@ class SnapshotTable:
         kept = [f for f in m["files"]
                 if f["min"] is None or not (f["max"] < lo or f["min"] > hi)]
         return len(kept), len(m["files"])
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-resumable pipeline stages (north-rule: "every stage is
+# checkpoint-resumable with per-partition lineage manifests and metrics")
+# ---------------------------------------------------------------------------
+
+def run_stage(
+    spark: SparkSession,
+    out_root: str,
+    name: str,
+    version: int,
+    inputs: dict,
+    fn,
+    sort_col: str | None = None,
+    cell_col: str | None = None,
+) -> tuple:
+    """Run (or resume) one pipeline stage ``inputs -> SnapshotTable(out_root)``.
+
+    ``inputs`` maps alias -> SnapshotTable; ``fn(spark, dfs)`` receives the
+    scanned DataFrames keyed by alias and returns the stage output DataFrame.
+
+    Resume contract: the output commit's manifest records the stage lineage
+    ``{stage, stage_version, inputs: {alias: {root, snapshot_id, version}}}``.
+    Re-running the stage with the SAME name, version, and input snapshot ids
+    is a metadata-only no-op that returns the existing committed snapshot —
+    a crashed driver restarts the whole pipeline script and every completed
+    stage is skipped in O(metadata).  Bumping ``version`` (the stage's
+    algorithm revision) or committing new input data invalidates the resume
+    and recomputes.  Returns ``(table, manifest, resumed)``.
+
+    100 TB notes: the resume check reads only manifest JSONs; stage output is
+    written range-sorted on ``sort_col`` (prunable files) and the manifest
+    carries per-file (rows, cells, bytes) + table skew ratio, so a monitoring
+    job can audit row/cell/byte conservation across stages without scanning
+    data.
+    """
+    in_snaps = {}
+    dfs = {}
+    for alias in sorted(inputs):
+        t = inputs[alias]
+        m = t.manifest()
+        if m is None:
+            raise FileNotFoundError(f"stage input '{alias}' has no committed "
+                                    f"snapshot at {t.root}")
+        in_snaps[alias] = {"root": t.root, "snapshot_id": m["snapshot_id"],
+                           "version": m["version"]}
+        dfs[alias] = t.scan(spark)
+    key = {"stage": name, "stage_version": version, "inputs": in_snaps}
+    out = SnapshotTable(out_root)
+    hit = out.snapshot_for_lineage(key)
+    if hit is not None:
+        return out, hit, True
+    os.makedirs(out.data_dir, exist_ok=True)
+    df = fn(spark, dfs)
+    man = out.overwrite(df, sort_col=sort_col, cell_col=cell_col, lineage=key)
+    return out, man, False

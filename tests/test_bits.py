@@ -93,6 +93,19 @@ class TestLaws:
         assert NYC10 not in set(c.tolist())
         assert len(c) > 1
 
+    def test_compact_res2_alias_group_survives(self):
+        # A complete res-2 sibling group on face 0 quintant 0 whose res-1
+        # parent id aliases the res-0 face id (DESIGN.md §3): compact() must
+        # leave the group as-is instead of crashing on the unrepresentable
+        # parent (round-3 ADVICE regression).
+        kids = np.array(
+            [bits.encode_components(0, s, 2) for s in range(4)], dtype=np.int64
+        )
+        p = bits.parent_of(int(kids[0]), 1)
+        assert bits.res_of(p) == 0  # confirms the alias precondition
+        out = bits.compact(kids)
+        assert sorted(out.tolist()) == sorted(kids.tolist())
+
     def test_res0_to_1_is_five_children(self):
         w = bits.encode_components(3, 0, 0)
         kids = bits.cell_to_children(w, 1)

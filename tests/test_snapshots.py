@@ -97,3 +97,55 @@ def test_manifest_metadata_only_commit(tmp_path_factory, spark, cells_df):
     assert sz < 64 * 1024
     man = json.load(open(mp))
     assert {"rows", "bytes", "n_files", "skew_ratio"} <= set(man["metrics"])
+
+
+def test_run_stage_resume_and_lineage(spark, tmp_path_factory, cells_df):
+    """north-rule: checkpoint-resumable stages with per-partition lineage
+    manifests + (rows, cells, bytes, skew) metrics."""
+    from a5pg_spark.sources.table import run_stage
+
+    base = str(tmp_path_factory.mktemp("pipeline"))
+    src = SnapshotTable.create(
+        os.path.join(base, "src"), cells_df.limit(4000), sort_col="cell")
+
+    calls = {"n": 0}
+
+    def rollup(sp, dfs):
+        calls["n"] += 1
+        return (dfs["src"].groupBy("cell")
+                .agg(F.sum("price").alias("rev")))
+
+    out, m1, resumed1 = run_stage(
+        spark, os.path.join(base, "out"), "rollup", 1, {"src": src}, rollup,
+        sort_col="cell", cell_col="cell")
+    assert not resumed1 and calls["n"] == 1
+    # lineage recorded: stage identity + exact input snapshot
+    assert m1["lineage"]["stage"] == "rollup"
+    assert m1["lineage"]["inputs"]["src"]["snapshot_id"] == src.manifest()["snapshot_id"]
+    # per-partition metrics: every file carries rows/cells/bytes; table-level
+    # metrics carry the north-rule tuple
+    assert all(f["rows"] > 0 and f["bytes"] > 0 and "cells" in f
+               for f in m1["files"])
+    assert m1["metrics"]["cells"] == out.scan(spark).select("cell").distinct().count()
+    assert m1["metrics"]["skew_ratio"] >= 1.0
+
+    # same stage, same inputs -> metadata-only resume, no recompute
+    out2, m2, resumed2 = run_stage(
+        spark, os.path.join(base, "out"), "rollup", 1, {"src": src}, rollup,
+        sort_col="cell", cell_col="cell")
+    assert resumed2 and calls["n"] == 1
+    assert m2["snapshot_id"] == m1["snapshot_id"]
+
+    # bumping the stage version invalidates the checkpoint
+    _, m3, resumed3 = run_stage(
+        spark, os.path.join(base, "out"), "rollup", 2, {"src": src}, rollup,
+        sort_col="cell", cell_col="cell")
+    assert not resumed3 and calls["n"] == 2
+    assert m3["snapshot_id"] != m1["snapshot_id"]
+
+    # new input data also invalidates it
+    src.append(cells_df.where("id >= 19000"))
+    _, m4, resumed4 = run_stage(
+        spark, os.path.join(base, "out"), "rollup", 2, {"src": src}, rollup,
+        sort_col="cell", cell_col="cell")
+    assert not resumed4 and calls["n"] == 3
