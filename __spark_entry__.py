@@ -464,6 +464,62 @@ ORACLES_SQL["snapshot_pruned_scan"] = f"""
 """
 
 
+def _q_snapshot_stage_resume(spark, sf_dir):
+    """Checkpoint-resumable pipeline stage (north-rule: per-partition lineage
+    manifests + metrics): lineitem cells snapshotted, a rollup stage run via
+    ``run_stage`` — then run AGAIN with identical stage version + input
+    snapshot, which must be a metadata-only resume (same snapshot id, no
+    recompute).  The rollup itself is the exact-oracle payload; lineage and
+    resume laws are asserted inline (a failure raises and the driver records
+    the error)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.sources.table import SnapshotTable, run_stage
+
+    _prep(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.abspath(f"spark-warehouse/pipeline_{key}")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    src_df = spark.sql(
+        "SELECT a5_synth_cell(l_orderkey * 8 + l_linenumber, 6) AS cell, "
+        "l_quantity AS qty FROM lineitem"
+    )
+    src = SnapshotTable.create(f"{base}/src", src_df, sort_col="cell")
+
+    calls = {"n": 0}
+
+    def rollup(sp, dfs):
+        calls["n"] += 1
+        return dfs["src"].groupBy("cell").agg(
+            F.count("*").alias("n"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+        )
+
+    out, m1, r1 = run_stage(spark, f"{base}/out", "rollup", 1, {"src": src},
+                            rollup, sort_col="cell", cell_col="cell")
+    _, m2, r2 = run_stage(spark, f"{base}/out", "rollup", 1, {"src": src},
+                          rollup, sort_col="cell", cell_col="cell")
+    if r1 or not r2 or calls["n"] != 1 or m2["snapshot_id"] != m1["snapshot_id"]:
+        raise AssertionError("stage resume contract violated")
+    if m1["lineage"]["inputs"]["src"]["snapshot_id"] != src.manifest()["snapshot_id"]:
+        raise AssertionError("lineage does not pin the input snapshot")
+    if not all(f["rows"] > 0 and "cells" in f for f in m1["files"]):
+        raise AssertionError("per-partition metrics missing")
+    return out.scan(spark).orderBy("cell")
+
+
+ORACLES_SQL["snapshot_stage_resume"] = f"""
+    SELECT {_synth_duck('l_orderkey * 8 + l_linenumber', 6)} AS cell,
+           COUNT(*) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY cell
+"""
+
+
 def _q_compact_roundtrip(spark, sf_dir):
     """compact(uncompact(X)) == X — exercised through BOTH surfaces: the
     SQL-registered array functions (a5_compact/a5_uncompact, verbatim
@@ -1122,6 +1178,7 @@ ORACLES_SQL["stream_dedup_firstseen"] = """
 _OPERATOR_QUERIES = {
     "a5_compact_roundtrip": _q_compact_roundtrip,
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+    "snapshot_stage_resume": _q_snapshot_stage_resume,
     "stream_dedup_firstseen": _q_stream_dedup,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,

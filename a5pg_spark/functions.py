@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
 )
 
 from .core import areas, bits, cells
@@ -133,23 +134,18 @@ SQL_BODIES_POST = {
     # a5_cell_to_geom (sql/a5pg--0.6.1.sql:90-117) returns a PostGIS geometry;
     # this engine carries no geometry type, so the geometry VALUE is its
     # serialized form: WKT (ST_AsText parity) and GeoJSON (ST_AsGeoJSON
-    # parity); a5_cell_to_geom aliases the GeoJSON form.
-    "a5_cell_to_wkt": (
-        "(id BIGINT) RETURNS STRING RETURN "
-        "concat('POLYGON((', array_join(transform(a5_cell_to_boundary_impl(id, TRUE, -1), "
-        "p -> concat(CAST(p[0] AS STRING), ' ', CAST(p[1] AS STRING))), ','), '))')"
-    ),
-    # round(x, d) needs a foldable scale inside SQL UDFs — use mul/round/div
+    # parity); a5_cell_to_geom aliases the GeoJSON form.  Both delegate to
+    # Arrow UDFs whose float formatting matches PostGIS 3's ryu printer
+    # exactly (shortest round-trip repr / fixed-precision with zero-trim) —
+    # validated character-for-character against
+    # reference/tests/pg_regress/expected/postgis_wrapper.out:3-4 in
+    # tests/test_functions_round2.py.
     "a5_cell_to_geojson": (
         "(id BIGINT, digits INT DEFAULT 9) RETURNS STRING RETURN "
-        "concat('{\"type\":\"Polygon\",\"coordinates\":[[', "
-        "array_join(transform(a5_cell_to_boundary_impl(id, TRUE, -1), "
-        "p -> concat('[', CAST(round(p[0] * power(10, digits)) / power(10, digits) AS STRING), "
-        "',', CAST(round(p[1] * power(10, digits)) / power(10, digits) AS STRING), ']')), ','), "
-        "']]}')"
+        "a5_cell_to_geojson_impl(id, digits)"
     ),
     "a5_cell_to_geom": (
-        "(id BIGINT) RETURNS STRING RETURN a5_cell_to_geojson(id, 9)"
+        "(id BIGINT) RETURNS STRING RETURN a5_cell_to_geojson_impl(id, 9)"
     ),
     "a5pg_version": ("() RETURNS STRING RETURN '0.1.0'"),
     "a5pg_info": (
@@ -169,6 +165,8 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("a5_cell_to_lon", _cell_to_lon_udf)
     spark.udf.register("a5_cell_to_lat", _cell_to_lat_udf)
     spark.udf.register("a5_cell_to_boundary_impl", _cell_to_boundary_udf)
+    spark.udf.register("a5_cell_to_wkt", _cell_to_wkt_udf)
+    spark.udf.register("a5_cell_to_geojson_impl", _cell_to_geojson_udf)
     spark.udf.register("a5_is_valid_i64", _is_valid_i64_udf)
     spark.udf.register("a5_compact", _compact_udf)
     spark.udf.register("a5_uncompact", _uncompact_udf)
@@ -299,6 +297,61 @@ def _cell_to_boundary_udf(
         rings = cells.cell_to_boundary_batch(ids[m], closed_ring=key[0], segments=seg_v)
         for i, r in zip(np.nonzero(m)[0], rings):
             out_arr[i] = r.tolist()
+    out = pd.Series(out_arr)
+    out[na.to_numpy()] = None
+    return out
+
+
+def _pg_double(x: float) -> str:
+    """PostGIS 3 ryu float printing: shortest round-trip decimal, no ``.0``
+    suffix on integral values (lwprint_double with OUT_MAX_DIGITS) — Python's
+    repr is the same shortest-repr family; validated char-for-char against
+    ``expected/postgis_wrapper.out:3`` (ST_AsText output)."""
+    s = repr(x + 0.0)  # +0.0 normalizes -0.0
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _pg_double_fixed(x: float, digits: int) -> str:
+    """PostGIS fixed-precision printing (ST_AsGeoJSON maxdecimaldigits):
+    round to ``digits`` decimals, trim trailing zeros and a bare point —
+    validated against ``expected/postgis_wrapper.out:4``."""
+    s = f"{x:.{digits}f}".rstrip("0").rstrip(".")
+    return "0" if s in ("-0", "") else s
+
+
+@pandas_udf(StringType())
+def _cell_to_wkt_udf(cell: pd.Series) -> pd.Series:
+    """``ST_AsText(a5_cell_to_geom(id))`` parity: POLYGON((x y,...)) with
+    PostGIS ryu float formatting (see _pg_double)."""
+    na = cell.isna()
+    ids = _ids_i64(cell)
+    rings = cells.cell_to_boundary_batch(ids, closed_ring=True)
+    out_arr = np.empty(len(ids), dtype=object)
+    for i, ring in enumerate(rings):
+        out_arr[i] = (
+            "POLYGON(("
+            + ",".join(f"{_pg_double(x)} {_pg_double(y)}" for x, y in ring)
+            + "))"
+        )
+    out = pd.Series(out_arr)
+    out[na.to_numpy()] = None
+    return out
+
+
+@pandas_udf(StringType())
+def _cell_to_geojson_udf(cell: pd.Series, digits: pd.Series) -> pd.Series:
+    """``ST_AsGeoJSON(a5_cell_to_geom(id), digits)`` parity; digits < 0 →
+    full shortest-repr precision."""
+    na = cell.isna()
+    ids = _ids_i64(cell)
+    dg = digits.fillna(9).astype("int64").to_numpy()
+    rings = cells.cell_to_boundary_batch(ids, closed_ring=True)
+    out_arr = np.empty(len(ids), dtype=object)
+    for i, ring in enumerate(rings):
+        d = int(dg[i])
+        fmt = _pg_double if d < 0 else (lambda v, _d=d: _pg_double_fixed(v, _d))
+        coords = ",".join(f"[{fmt(x)},{fmt(y)}]" for x, y in ring)
+        out_arr[i] = '{"type":"Polygon","coordinates":[[' + coords + "]]}"
     out = pd.Series(out_arr)
     out[na.to_numpy()] = None
     return out

@@ -11,8 +11,12 @@ Parity targets in the reference:
   ``jsonb_build_object('type','FeatureCollection','features', jsonb_agg(...))``
   → :func:`feature_collection`.
 
-All formatting is native Column expressions (whole-stage codegen): the only
-Python crossing is the boundary pandas UDF itself.  For 10^12-row exports use
+Formatting parity (round 3): the user-facing ``a5_cell_to_wkt/geojson``
+surfaces are Arrow UDFs that reproduce PostGIS 3's ryu float printing
+exactly (shortest round-trip repr; fixed-precision zero-trim for GeoJSON) —
+the boundary path already crossed into Python once, so this adds no extra
+stage.  The codegen'd ``wkt_polygon``/``geojson_polygon`` Column builders
+remain for JVM-only pipelines that prefer zero Python.  For 10^12-row exports use
 :func:`features_df` + ``write.text`` (newline-delimited GeoJSON, fully
 distributed); :func:`feature_collection` collapses to a single driver row and
 is only for small result sets, like the reference's ``\\copy`` of one row.
@@ -58,13 +62,21 @@ def geojson_polygon(boundary: Column, digits: int | None = 9) -> Column:
 
 
 def a5_cell_to_wkt(cell) -> Column:
-    """Mirrors ``a5_cell_to_geom`` + ``ST_AsText`` (src/lib.rs boundary path)."""
-    return wkt_polygon(A.a5_cell_to_boundary(cell, closed_ring=True))
+    """Mirrors ``a5_cell_to_geom`` + ``ST_AsText`` (src/lib.rs boundary path).
+
+    Delegates to the exact-formatting Arrow UDF (functions._cell_to_wkt_udf):
+    PostGIS-ryu float strings, validated against
+    expected/postgis_wrapper.out:3.  (wkt_polygon above is the codegen'd
+    approximation kept for JVM-only pipelines.)"""
+    return A._cell_to_wkt_udf(F.col(cell) if isinstance(cell, str) else cell)
 
 
 def a5_cell_to_geojson(cell, digits: int | None = 9) -> Column:
-    """Mirrors ``a5_cell_to_geom`` + ``ST_AsGeoJSON(geom, digits)``."""
-    return geojson_polygon(A.a5_cell_to_boundary(cell, closed_ring=True), digits)
+    """Mirrors ``a5_cell_to_geom`` + ``ST_AsGeoJSON(geom, digits)``; digits
+    None → full shortest-repr precision.  Exact PostGIS formatting parity
+    (expected/postgis_wrapper.out:4)."""
+    c = F.col(cell) if isinstance(cell, str) else cell
+    return A._cell_to_geojson_udf(c, F.lit(-1 if digits is None else digits))
 
 
 def feature_df(

@@ -67,13 +67,14 @@ def main() -> None:
 
     from a5pg_spark.functions_native import encode_native
 
-    n_points = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n
-    pts = spark.sql(
-        """
-        SELECT ((o_orderkey * 2654435761) % 360000000) / 1e6 - 180.0 AS lon,
-               ((o_orderkey * 987654321986) % 180000000) / 1e6 - 90.0 AS lat
-        FROM orders
-        """
+    # 2M JVM-generated points (orders at sf0.1 is only 150k rows — too small
+    # to see past plan-build + stage-launch fixed costs); includes plan build,
+    # so this is the honest single-job number (steady-state execution-only
+    # throughput is tools/scale_probe.py's job)
+    n_points = 2_000_000
+    pts = spark.range(n_points).selectExpr(
+        "((id * 2654435761) % 360000000) / 1e6 - 180.0 AS lon",
+        "((id * 987654321986) % 180000000) / 1e6 - 90.0 AS lat",
     )
     t0 = time.time()
     (
@@ -83,15 +84,20 @@ def main() -> None:
     )
     encode_sec = time.time() - t0
     throughput = n_points / encode_sec if encode_sec > 0 else 0.0
+    # north-rule headline: spatial-join throughput in images(points)/sec —
+    # the elephant join's point side is one row per orders row
+    n_orders = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n
+    sj_sec = timings.get("spatial_join_elephant")
+    sj_ips = round(n_orders / sj_sec, 1) if sj_sec else None
     t0 = time.time()
     spark.sql(
-        """
+        f"""
         SELECT a5_cell_to_parent(cell, 4) AS p, COUNT(*) AS n FROM (
           SELECT a5_lonlat_to_cell(
-                   ((o_orderkey * 2654435761) % 360000000) / 1e6 - 180.0,
-                   ((o_orderkey * 987654321986) % 180000000) / 1e6 - 90.0,
+                   ((id * 2654435761) % 360000000) / 1e6 - 180.0,
+                   ((id * 987654321986) % 180000000) / 1e6 - 90.0,
                    9) AS cell
-          FROM orders) GROUP BY p
+          FROM range({n_points})) GROUP BY p
         """
     ).collect()
     encode_udf_sec = time.time() - t0
@@ -110,6 +116,7 @@ def main() -> None:
         "throughput_pts_per_sec": round(throughput, 1),
         "encode_udf_sec": round(encode_udf_sec, 3),
         "throughput_udf_pts_per_sec": round(n_points / encode_udf_sec, 1),
+        "spatial_join_images_per_sec": sj_ips,
     }
     spark.stop()
     print(json.dumps(result))

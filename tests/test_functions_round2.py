@@ -113,3 +113,60 @@ def test_sql_compact_uncompact_arrays(spark):
     """).first()
     assert len(r["kids"]) == 16
     assert r["back"] == [r["c"]]
+
+
+def test_postgis_float_format_parity():
+    """Formatter reproduces the reference's PostGIS output strings
+    char-for-char (expected/postgis_wrapper.out:3-4): ST_AsText = ryu
+    shortest repr, ST_AsGeoJSON = 9-decimal cap with zero-trim."""
+    from a5pg_spark.functions import _pg_double, _pg_double_fixed
+
+    golden = [
+        (-74.01466735453606, 40.72977833231509),
+        (-73.95656875648214, 40.72969872633765),
+        (-73.90722131384905, 40.74911917245756),
+        (-73.94429903619088, 40.77973535107036),
+        (-73.99836905619028, 40.76659823811294),
+        (-74.01466735453606, 40.72977833231509),
+    ]
+    wkt = ("POLYGON((" + ",".join(
+        f"{_pg_double(x)} {_pg_double(y)}" for x, y in golden) + "))")
+    assert wkt == (
+        "POLYGON((-74.01466735453606 40.72977833231509,"
+        "-73.95656875648214 40.72969872633765,"
+        "-73.90722131384905 40.74911917245756,"
+        "-73.94429903619088 40.77973535107036,"
+        "-73.99836905619028 40.76659823811294,"
+        "-74.01466735453606 40.72977833231509))"
+    )
+    gj = ('{"type":"Polygon","coordinates":[[' + ",".join(
+        f"[{_pg_double_fixed(x, 9)},{_pg_double_fixed(y, 9)}]"
+        for x, y in golden) + "]]}")
+    assert gj == (
+        '{"type":"Polygon","coordinates":[['
+        '[-74.014667355,40.729778332],[-73.956568756,40.729698726],'
+        '[-73.907221314,40.749119172],[-73.944299036,40.779735351],'
+        '[-73.998369056,40.766598238],[-74.014667355,40.729778332]]]}'
+    )
+    # edge cases the reference's printer pins: integral → no ".0", -0 → "0"
+    assert _pg_double(40.0) == "40"
+    assert _pg_double(-0.0) == "0"
+    assert _pg_double_fixed(-1e-12, 9) == "0"
+    assert _pg_double_fixed(2.5, 9) == "2.5"
+
+
+def test_wkt_geojson_udf_cross_consistency(spark):
+    """The Arrow formatting UDFs agree with the boundary UDF's coordinates
+    (full-precision GeoJSON round-trips to the exact boundary doubles)."""
+    import json
+
+    r = spark.sql("""
+        SELECT a5_cell_to_wkt(a5_synth_cell(42, 9)) AS wkt,
+               a5_cell_to_geojson(a5_synth_cell(42, 9), -1) AS gj,
+               a5_cell_to_boundary(a5_synth_cell(42, 9)) AS b
+    """).first()
+    ring = json.loads(r["gj"])["coordinates"][0]
+    assert ring == [list(p) for p in r["b"]]
+    wkt_ring = [[float(v) for v in pt.split(" ")]
+                for pt in r["wkt"][len("POLYGON(("):-2].split(",")]
+    assert wkt_ring == [list(p) for p in r["b"]]
