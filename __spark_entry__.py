@@ -35,6 +35,15 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     key = (id(spark), sf_dir)
     if key in _REGISTERED:
         return
+    # the harness may hand us a session without session.py's defaults; these
+    # two are runtime-settable and load-bearing for plan health (session.py
+    # documents both pathologies: constraint propagation and inferred
+    # generator filters substitute deep expressions through the plan)
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     A.register(spark)
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

@@ -59,6 +59,17 @@ def get_spark(
         # (measured: 7.4 MB plan / 199k duplicated subtrees, 388 s for a 40k-row
         # broadcast join that runs in 0.5 s with this off)
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # same substitution pathology, different rule: InferFiltersFromGenerate
+        # adds size(<generator input>)>0, and when the array is an expression
+        # over grouping keys the filter is substituted through the aggregate
+        # down to the scan — the interpreted children/uncompact HOF then runs
+        # per INPUT row instead of per group (measured: a5_children_expand
+        # 5.0 s -> 1.0 s at sf0.1; our generator arrays are never empty, so
+        # the rule's benefit is nil for this engine)
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # availableNow + applyInPandasWithState(ProcessingTimeTimeout): with
         # no-data micro-batches ON (default), pending state timeouts (e.g. the
         # 60-min dedup TTL) make the engine loop "no new data but cleaning up

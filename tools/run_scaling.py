@@ -31,6 +31,8 @@ COMMON = [
     "--driver-java-options",
     "-Xms20g -XX:+AlwaysPreTouch -XX:+UseParallelGC -XX:-DontCompileHugeMethods",
     "--conf", "spark.sql.constraintPropagation.enabled=false",  # session.py note
+    "--conf", ("spark.sql.optimizer.excludedRules="
+               "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"),
     "--conf", "spark.sql.adaptive.enabled=true",
     "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
     "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
