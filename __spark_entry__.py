@@ -1048,9 +1048,14 @@ ORACLES_SQL["embed_ann_ivf"] = _ivf_oracle_sql()
 
 
 def _q_images_tiling(spark, sf_dir):
-    """Raster→cell tiling smoke over a synthesized deterministic image batch
+    """Raster→cell tiling over a synthesized deterministic image batch
     (the parquet corpus has no binary images; generation is part of the
-    engine, sources/images.py)."""
+    engine, sources/images.py).  EXACT oracle (round 3): the decode →
+    per-pixel georeference → res-14 encode → mosaic rollup pipeline is
+    replicated end-to-end in DuckDB — pixel values are a BIGINT-safe
+    closed form, image metadata is embedded as literals, and the encode is
+    oracle_gen's bit-exact generated CTE chain.  This is the north-rule
+    "tile-assignment exact-match" gate."""
     _prep(spark, sf_dir)
     import pyspark.sql.functions as F
 
@@ -1063,6 +1068,64 @@ def _q_images_tiling(spark, sf_dir):
         "mosaic_cell", "n_pixels", F.round("mean_value", 4).alias("mean_value"),
         "n_images",
     ).orderBy("mosaic_cell")
+
+
+def _images_tiling_oracle_sql(n: int = 128) -> str:
+    """DuckDB replica of _q_images_tiling: image metadata (w/h/fmt/phash —
+    phash includes the golden-point pins) as a VALUES literal; pixels from
+    the closed form in sources/images.py:make_rows; fake-jpeg decode is
+    (v//4)*4+2 (sources/images.py:fake_jpeg_decode, no clipping needed for
+    v in 0..255); georeferencing mirrors operators/tiling.py:_tile_one's
+    float op order exactly; encode is the generated bit-exact chain."""
+    import numpy as _np
+
+    from a5pg_spark.oracle_gen import encode_cte_chain
+    from a5pg_spark.sources.images import (
+        FMT_CYCLE, GOLDEN_POINTS, H_CYCLE, W_CYCLE, phash_for_point, phash_of,
+    )
+
+    meta = []
+    for i in range(n):
+        w, h, fmt = W_CYCLE[i % 3], H_CYCLE[i % 3], FMT_CYCLE[i % 2]
+        if i < len(GOLDEN_POINTS):
+            ph = phash_for_point(*GOLDEN_POINTS[i])
+        else:
+            ph = int(phash_of(_np.array([i]))[0])
+        meta.append(f"({i},{w},{h},'{fmt}',{ph})")
+    enc_ctes, final = encode_cte_chain(14)
+    cap_mod = 360000000 * 180000000
+    return f"""
+    WITH meta(i, w, h, fmt, phash) AS (VALUES {','.join(meta)}),
+    grid AS (
+      SELECT i, w, h, fmt,
+             ((phash % {cap_mod}) + {cap_mod}) % {cap_mod} AS p,
+             y.range AS y, x.range AS x
+      FROM meta, range(48) y, range(64) x
+      WHERE y.range < h AND x.range < w
+    ),
+    pix AS (
+      SELECT i * 4096 + y * 64 + x AS key, i,
+             CASE WHEN fmt = 'jpeg'
+                  THEN CAST((((i * 2654435761 + y * 977 + x * 131) % 256) // 4) * 4 + 2 AS DOUBLE)
+                  ELSE CAST((i * 2654435761 + y * 977 + x * 131) % 256 AS DOUBLE) END AS val,
+             ((p % 360000000) / 1e6 - 180.0)
+               + (CAST(x AS DOUBLE) - CAST(w AS DOUBLE) / 2.0) * 0.0001 AS lon,
+             ((p // 360000000) / 1e6 - 90.0)
+               + (CAST(h AS DOUBLE) / 2.0 - CAST(y AS DOUBLE)) * 0.0001 AS lat
+      FROM grid
+    ),
+    pts AS (SELECT key, lon, lat FROM pix),
+    {enc_ctes}
+    SELECT {_parent_duck('cell', 6)} AS mosaic_cell,
+           COUNT(*) AS n_pixels,
+           ROUND(SUM(val) / COUNT(*), 4) AS mean_value,
+           COUNT(DISTINCT i) AS n_images
+    FROM {final} e JOIN pix USING (key)
+    GROUP BY 1 ORDER BY mosaic_cell
+"""
+
+
+ORACLES_SQL["images_tiling_mosaic"] = _images_tiling_oracle_sql()
 
 
 def _q_geojson_export(spark, sf_dir):

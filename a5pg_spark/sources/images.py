@@ -208,8 +208,11 @@ def make_rows(lo: int, hi: int) -> pd.DataFrame:
             ph = phash_for_point(*GOLDEN_POINTS[i])
         else:
             ph = int(phash_of(np.array([i]))[0])
-        rng = np.random.default_rng(42 + i)
-        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        # SQL-expressible pixel field (round 3): the DuckDB tiling oracle
+        # regenerates these exact values as (i*2654435761 + y*977 + x*131)%256
+        # — all intermediates < 2^63, so BIGINT-safe in every dialect
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((i * 2654435761 + yy * 977 + xx * 131) % 256).astype(np.uint8)
         data = png_encode(img) if fmt == "png" else fake_jpeg_encode(img)
         lon, lat = capture_point(np.array([ph]))
         lon, lat = float(lon[0]), float(lat[0])
