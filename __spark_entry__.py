@@ -237,6 +237,38 @@ ORACLES_SQL["a5_res0_cells"] = """
     FROM (SELECT unnest(range(0, 12)) AS f) ORDER BY cell
 """
 
+# boundary corner vertices (segments=1, open ring): the cell triangle's
+# entry/apex/exit corners through the exact inverse projection — DuckDB
+# replicates the whole chain (oracle_gen.boundary_corners_cte_chain);
+# 9-decimal rounding absorbs the documented hypot-vs-sqrt ulp delta
+QUERIES_SQL["a5_boundary_vertices"] = """
+    SELECT rid, pos AS vid, ROUND(p[0], 9) AS vlon, ROUND(p[1], 9) AS vlat
+    FROM (SELECT rid, posexplode(b) AS (pos, p) FROM
+          (SELECT n_nationkey AS rid,
+                  a5_cell_to_boundary(a5_synth_cell(n_nationkey + 1, 6), false, 1) AS b
+           FROM nation))
+    ORDER BY rid, vid
+"""
+
+
+def _boundary_vertices_oracle_sql(res: int = 6) -> str:
+    from a5pg_spark.oracle_gen import boundary_corners_cte_chain
+
+    ctes, final = boundary_corners_cte_chain(res)
+    return f"""
+    WITH ids AS (SELECT n_nationkey AS key,
+                        ((n_nationkey + 1) % 32) AS origin,
+                        ((n_nationkey + 1) * 48271) % {1 << (2 * (res - 1))} AS s
+                 FROM nation),
+    encfq AS (SELECT key, origin // 5 AS face, origin % 5 AS q, s FROM ids),
+    {ctes}
+    SELECT key AS rid, vid, ROUND(vlon, 9) AS vlon, ROUND(vlat, 9) AS vlat
+    FROM {final} ORDER BY rid, vid
+"""
+
+
+ORACLES_SQL["a5_boundary_vertices"] = _boundary_vertices_oracle_sql()
+
 # -- projection family (not ANSI-expressible → rows-only driver check) ------
 
 QUERIES_SQL["a5_encode_points_rollup"] = f"""

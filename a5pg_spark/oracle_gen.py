@@ -272,3 +272,116 @@ def decode_center_cte_chain(res: int, src: str = "encfq") -> tuple[str, str]:
       FROM sph_)"""
     )
     return ",\n    ".join(ctes), "dec"
+
+
+def boundary_corners_cte_chain(res: int, src: str = "encfq") -> tuple[str, str]:
+    """CTEs computing the 3 boundary corner vertices (segments=1, open ring)
+    of each cell from pre-assembly components — the oracle for
+    ``a5_cell_to_boundary(id, false, 1)``.
+
+    ``src`` must provide (key, face, q, s).  Produces
+    ``bdec(key, vid, vlon, vlat)`` with vid 0/1/2 = entry/apex/exit corner of
+    the S-path triangle, matching core/cells.cell_to_boundary_batch's ring
+    order.  The inverse chain mirrors decode_center_cte_chain (kept in sync
+    manually); r uses sqrt(x²+y²) where NumPy uses hypot, an ulp-level
+    difference — consumers must round (9 decimals is far above it).
+    """
+    from .core.dodecahedron import FACE_ROT_INV
+
+    tpo5 = _f(P.TWO_PI_OVER_5)
+    po5 = _f(P.PI_OVER_5)
+    k_ = _f(np.sqrt(1.0 + TAN_DM * TAN_DM))
+    tan36 = _f(P.TAN_36)
+    atot = _f(P.AREA_TOT)
+    tdm = _f(TAN_DM)
+    tdm2 = _f(TAN_DM * TAN_DM)
+    r2d = _f(180.0 / np.pi)
+
+    ex, ey = P.TRI_ENTRY
+    ax_, ay_ = P.TRI_APEX
+    rx, ry = P.TRI_EXIT
+    depth = 2 * (res - 1)
+    ctes = [
+        f"""btr0 AS (
+      SELECT key, face, q, s,
+             CAST({_f(ex)} AS DOUBLE) AS pax, CAST({_f(ey)} AS DOUBLE) AS pay,
+             CAST({_f(ax_)} AS DOUBLE) AS qax, CAST({_f(ay_)} AS DOUBLE) AS qay,
+             CAST({_f(rx)} AS DOUBLE) AS rax, CAST({_f(ry)} AS DOUBLE) AS ray
+      FROM {src})"""
+    ]
+    for step, i in enumerate(range(depth - 1, -1, -1), start=1):
+        ctes.append(
+            f"""btr{step} AS (
+      SELECT key, face, q, s,
+             CASE WHEN b = 1 THEN qax ELSE pax END AS pax,
+             CASE WHEN b = 1 THEN qay ELSE pay END AS pay,
+             mx AS qax, my AS qay,
+             CASE WHEN b = 1 THEN rax ELSE qax END AS rax,
+             CASE WHEN b = 1 THEN ray ELSE qay END AS ray
+      FROM (SELECT *, CAST((s >> {i}) & 1 AS INT) AS b,
+                   (pax + rax) * 0.5 AS mx, (pay + ray) * 0.5 AS my
+            FROM btr{step - 1}))"""
+        )
+    alphas = _case_face(P._ALPHAS)
+    signs = _case_face(P._SIGNS)
+
+    def rotinv_row(r):
+        return " + ".join(
+            f"{_case_face(FACE_ROT_INV[:, r, c])} * w{ax}"
+            for c, ax in enumerate("xyz")
+        )
+
+    newton = []
+    newton.append(f"{po5} * (target / {atot}) AS na0")
+    for it in range(5):
+        a = f"na{it}"
+        f_ = f"(({a} - asin(sin({a}) / {k_})) - target)"
+        df = f"GREATEST(1.0 - (cos({a}) / sqrt(cos({a}) * cos({a}) + {tdm2})), 1e-15)"
+        newton.append(
+            f"LEAST(GREATEST(na{it} - {f_} / {df}, 0.0), {po5}) AS na{it + 1}"
+        )
+
+    ctes.append(
+        f"""bcr_ AS (
+      SELECT key, face, q, 0 AS vid, pax AS cx, pay AS cy FROM btr{depth}
+      UNION ALL
+      SELECT key, face, q, 1 AS vid, qax AS cx, qay AS cy FROM btr{depth}
+      UNION ALL
+      SELECT key, face, q, 2 AS vid, rax AS cx, ray AS cy FROM btr{depth})"""
+    )
+    ctes.append(
+        f"""bpol_ AS (
+      SELECT key, face, q, vid,
+             sqrt(cx * cx + cy * cy) AS r,
+             atan2(abs(cy), cx) AS ap,
+             CASE WHEN cy < 0 THEN -1.0 ELSE 1.0 END AS mir,
+             ({atot} * tan(atan2(abs(cy), cx)) / {tan36}) AS target
+      FROM bcr_)"""
+    )
+    ctes.append("bn0_ AS (\n      SELECT *, " + newton[0] + " FROM bpol_)")
+    for it in range(5):
+        ctes.append(f"bn{it + 1}_ AS (\n      SELECT *, " + newton[it + 1] + f" FROM bn{it}_)")
+    ctes.append(
+        f"""bzz_ AS (
+      SELECT key, face, q, vid, mir, na5 AS a,
+             acos(LEAST(GREATEST(
+               1.0 - (1.0 - (cos(na5) / sqrt(cos(na5) * cos(na5) + {tdm2})))
+                     * (r / ({tdm} / cos(ap))) * (r / ({tdm} / cos(ap))), -1.0), 1.0)) AS z
+      FROM bn5_)"""
+    )
+    ctes.append(
+        f"""bsph_ AS (
+      SELECT key, face, vid,
+             sin(z) * cos({alphas} + {signs} * ({tpo5} * q + {po5} + mir * a)) AS wx,
+             sin(z) * sin({alphas} + {signs} * ({tpo5} * q + {po5} + mir * a)) AS wy,
+             cos(z) AS wz
+      FROM bzz_)"""
+    )
+    ctes.append(
+        f"""bdec AS (
+      SELECT key, vid,
+             atan2({rotinv_row(1)}, {rotinv_row(0)}) * {r2d} AS vlon,
+             asin(LEAST(GREATEST({rotinv_row(2)}, -1.0), 1.0)) * {r2d} AS vlat
+      FROM bsph_)"""
+    )
+    return ",\n    ".join(ctes), "bdec"

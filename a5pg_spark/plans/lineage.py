@@ -12,6 +12,15 @@ A *stage checkpoint* is a parquet snapshot plus ``_lineage.json``:
 manifest with the same ``snapshot_id`` (a deterministic hash of stage name +
 inputs + config), the stage is skipped and re-read — re-running a failed
 pipeline resumes from the last complete stage.
+
+Relationship to ``sources.table.run_stage`` (round 3): this module is the
+PATH-level form — inputs are opaque strings, output is a plain parquet dir,
+one checkpoint per path.  The table-level form keys the resume on exact
+input *snapshot ids* of versioned SnapshotTables (so committing new input
+data auto-invalidates), writes the lineage into the table's own commit
+manifest, and composes with time travel / file pruning.  New pipelines over
+snapshot tables should prefer the table-level API; this one remains for
+stages whose inputs aren't snapshot tables (raw files, external dirs).
 """
 
 from __future__ import annotations

@@ -277,6 +277,11 @@ def run_stage(
     carries per-file (rows, cells, bytes) + table skew ratio, so a monitoring
     job can audit row/cell/byte conservation across stages without scanning
     data.
+
+    ``plans.lineage.run_stage`` is the PATH-level sibling (inputs are opaque
+    strings hashed into the checkpoint id); this form is preferred when the
+    inputs are snapshot tables, because new input commits auto-invalidate
+    the resume.
     """
     in_snaps = {}
     dfs = {}
