@@ -1161,32 +1161,68 @@ ORACLES_SQL["images_tiling_mosaic"] = _images_tiling_oracle_sql()
 
 
 def _q_geojson_export(spark, sf_dir):
-    """Geometry output surface (a5_cell_to_geom parity): WKT + GeoJSON per
-    cell plus the FeatureCollection export stage of
-    tests/elephant_a5_cells.sql:116-134.  Projection math — rows-only check;
-    exact string/structure laws live in pytest."""
+    """Geometry output surface (a5_cell_to_geom parity): the full WKT and
+    GeoJSON strings per cell, EXACT-oracle-checked (round 3): the DuckDB
+    side regenerates the boundary corners through the generated inverse
+    chain and assembles byte-identical strings (printf fixed-precision +
+    zero-trim — the PostGIS formatting both engines pin).  WKT uses the
+    2-arg ST_AsText precision form (digits=9) because DuckDB's
+    shortest-repr printer differs from ryu/Python in ~15% of last digits;
+    the full-precision default stays pinned by the char-for-char pytest
+    golden.  The FeatureCollection export stage is exercised in pytest
+    (test_functions_round2)."""
     _prep(spark, sf_dir)
-    import pyspark.sql.functions as F
-
-    from a5pg_spark.operators.geojson import feature_collection
-
-    cells = spark.sql("""
-        SELECT r_regionkey AS rid,
-               a5_synth_cell(r_regionkey + 3, 6) AS cell,
-               a5_cell_to_wkt(a5_synth_cell(r_regionkey + 3, 6)) AS wkt,
-               a5_cell_to_geojson(a5_synth_cell(r_regionkey + 3, 6), 6) AS geojson
-        FROM region
+    return spark.sql("""
+        SELECT n_nationkey AS rid,
+               a5_synth_cell(n_nationkey + 1, 6) AS cell,
+               a5_cell_to_wkt(a5_synth_cell(n_nationkey + 1, 6), 9) AS wkt,
+               a5_cell_to_geojson(a5_synth_cell(n_nationkey + 1, 6), 6) AS geojson
+        FROM nation ORDER BY rid
     """)
-    fc = feature_collection(
-        cells.select("rid", "cell"), cell_col="cell", props=["rid"],
-        digits=6, order_by=["rid"],
-    ).select(F.length("geojson").alias("fc_len"))
-    return (
-        cells.select("rid", "cell", F.length("wkt").alias("wkt_len"),
-                     F.substring("geojson", 1, 40).alias("geojson_prefix"))
-        .crossJoin(fc)
-        .orderBy("rid")
-    )
+
+
+def _geojson_export_oracle_sql(res: int = 6) -> str:
+    from a5pg_spark.oracle_gen import boundary_corners_cte_chain
+
+    ctes, final = boundary_corners_cte_chain(res)
+
+    def T(expr: str, d: int) -> str:
+        r = f"rtrim(rtrim(printf('%.{d}f', {expr}), '0'), '.')"
+        return f"(CASE WHEN {r} IN ('-0', '') THEN '0' ELSE {r} END)"
+
+    def wkt_pt(i: int) -> str:
+        return f"{T(f'x{i}', 9)} || ' ' || {T(f'y{i}', 9)}"
+
+    def gj_pt(i: int) -> str:
+        return f"'[' || {T(f'x{i}', 6)} || ',' || {T(f'y{i}', 6)} || ']'"
+
+    return f"""
+    WITH ids AS (SELECT n_nationkey AS key,
+                        ((n_nationkey + 1) % 32) AS origin,
+                        ((n_nationkey + 1) * 48271) % {1 << (2 * (res - 1))} AS s
+                 FROM nation),
+    encfq AS (SELECT key, origin // 5 AS face, origin % 5 AS q, s FROM ids),
+    {ctes},
+    ring AS (
+      SELECT key,
+             MAX(CASE WHEN vid = 0 THEN vlon END) AS x0,
+             MAX(CASE WHEN vid = 0 THEN vlat END) AS y0,
+             MAX(CASE WHEN vid = 1 THEN vlon END) AS x1,
+             MAX(CASE WHEN vid = 1 THEN vlat END) AS y1,
+             MAX(CASE WHEN vid = 2 THEN vlon END) AS x2,
+             MAX(CASE WHEN vid = 2 THEN vlat END) AS y2
+      FROM {final} GROUP BY key)
+    SELECT key AS rid,
+           {_synth_duck('key + 1', res)} AS cell,
+           'POLYGON((' || {wkt_pt(0)} || ',' || {wkt_pt(1)} || ',' ||
+                          {wkt_pt(2)} || ',' || {wkt_pt(0)} || '))' AS wkt,
+           '{{"type":"Polygon","coordinates":[[' || {gj_pt(0)} || ',' ||
+               {gj_pt(1)} || ',' || {gj_pt(2)} || ',' || {gj_pt(0)} || ']]}}' AS geojson
+    FROM ring ORDER BY rid
+"""
+
+
+ORACLES_SQL["a5_geojson_export"] = _geojson_export_oracle_sql()
 
 
 def _q_dissolve_export(spark, sf_dir):

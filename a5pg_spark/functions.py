@@ -140,6 +140,10 @@ SQL_BODIES_POST = {
     # validated character-for-character against
     # reference/tests/pg_regress/expected/postgis_wrapper.out:3-4 in
     # tests/test_functions_round2.py.
+    "a5_cell_to_wkt": (
+        "(id BIGINT, digits INT DEFAULT -1) RETURNS STRING RETURN "
+        "a5_cell_to_wkt_impl(id, digits)"
+    ),
     "a5_cell_to_geojson": (
         "(id BIGINT, digits INT DEFAULT 9) RETURNS STRING RETURN "
         "a5_cell_to_geojson_impl(id, digits)"
@@ -165,7 +169,7 @@ def register(spark: SparkSession) -> None:
     spark.udf.register("a5_cell_to_lon", _cell_to_lon_udf)
     spark.udf.register("a5_cell_to_lat", _cell_to_lat_udf)
     spark.udf.register("a5_cell_to_boundary_impl", _cell_to_boundary_udf)
-    spark.udf.register("a5_cell_to_wkt", _cell_to_wkt_udf)
+    spark.udf.register("a5_cell_to_wkt_impl", _cell_to_wkt_udf)
     spark.udf.register("a5_cell_to_geojson_impl", _cell_to_geojson_udf)
     spark.udf.register("a5_is_valid_i64", _is_valid_i64_udf)
     spark.udf.register("a5_compact", _compact_udf)
@@ -320,17 +324,21 @@ def _pg_double_fixed(x: float, digits: int) -> str:
 
 
 @pandas_udf(StringType())
-def _cell_to_wkt_udf(cell: pd.Series) -> pd.Series:
-    """``ST_AsText(a5_cell_to_geom(id))`` parity: POLYGON((x y,...)) with
-    PostGIS ryu float formatting (see _pg_double)."""
+def _cell_to_wkt_udf(cell: pd.Series, digits: pd.Series) -> pd.Series:
+    """``ST_AsText(a5_cell_to_geom(id), digits)`` parity: POLYGON((x y,...))
+    with PostGIS ryu float formatting; digits < 0 → full shortest-repr
+    precision (the 1-arg ST_AsText default)."""
     na = cell.isna()
     ids = _ids_i64(cell)
+    dg = digits.fillna(-1).astype("int64").to_numpy()
     rings = cells.cell_to_boundary_batch(ids, closed_ring=True)
     out_arr = np.empty(len(ids), dtype=object)
     for i, ring in enumerate(rings):
+        d = int(dg[i])
+        fmt = _pg_double if d < 0 else (lambda v, _d=d: _pg_double_fixed(v, _d))
         out_arr[i] = (
             "POLYGON(("
-            + ",".join(f"{_pg_double(x)} {_pg_double(y)}" for x, y in ring)
+            + ",".join(f"{fmt(x)} {fmt(y)}" for x, y in ring)
             + "))"
         )
     out = pd.Series(out_arr)

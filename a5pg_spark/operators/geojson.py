@@ -61,14 +61,16 @@ def geojson_polygon(boundary: Column, digits: int | None = 9) -> Column:
     )
 
 
-def a5_cell_to_wkt(cell) -> Column:
-    """Mirrors ``a5_cell_to_geom`` + ``ST_AsText`` (src/lib.rs boundary path).
+def a5_cell_to_wkt(cell, digits: int | None = None) -> Column:
+    """Mirrors ``a5_cell_to_geom`` + ``ST_AsText`` (src/lib.rs boundary path);
+    ``digits`` caps decimal places like 2-arg ST_AsText (None = full).
 
     Delegates to the exact-formatting Arrow UDF (functions._cell_to_wkt_udf):
     PostGIS-ryu float strings, validated against
     expected/postgis_wrapper.out:3.  (wkt_polygon above is the codegen'd
     approximation kept for JVM-only pipelines.)"""
-    return A._cell_to_wkt_udf(F.col(cell) if isinstance(cell, str) else cell)
+    c = F.col(cell) if isinstance(cell, str) else cell
+    return A._cell_to_wkt_udf(c, F.lit(-1 if digits is None else digits))
 
 
 def a5_cell_to_geojson(cell, digits: int | None = 9) -> Column:
