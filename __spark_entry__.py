@@ -40,6 +40,7 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     # documents both pathologies: constraint propagation and inferred
     # generator filters substitute deep expressions through the plan)
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
     spark.conf.set(
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",

@@ -59,6 +59,13 @@ def get_spark(
         # (measured: 7.4 MB plan / 199k duplicated subtrees, 388 s for a 40k-row
         # broadcast join that runs in 0.5 s with this off)
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # Dynamic partition pruning spends its time canonicalizing the join
+        # keys' full projection chains: ONE PartitionPruning invocation on a
+        # depth-2 unrolled-encode join measured 22 s (zero effect), and the
+        # depth-12 spatial join OOM'd the 16g driver during optimization.
+        # This engine reads unpartitioned parquet — file-level pruning comes
+        # from the snapshot layer's footer stats — so DPP can never fire.
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
         # same substitution pathology, different rule: InferFiltersFromGenerate
         # adds size(<generator input>)>0, and when the array is an expression
         # over grouping keys the filter is substituted through the aggregate

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "spatial_join_elephant",     # exact cover + native PIP join (round 2)
     "embed_ann_srp",             # single-pass multi-table SRP ANN (round 2)
     "snapshot_pruned_scan",      # snapshot table + footer-stats file pruning
+    "images_tiling_mosaic",      # raster decode → pixel→cell → mosaic (round 3: exact oracle)
 ]
 
 

@@ -31,6 +31,7 @@ COMMON = [
     "--driver-java-options",
     "-Xms20g -XX:+AlwaysPreTouch -XX:+UseParallelGC -XX:-DontCompileHugeMethods",
     "--conf", "spark.sql.constraintPropagation.enabled=false",  # session.py note
+    "--conf", "spark.sql.optimizer.dynamicPartitionPruning.enabled=false",  # session.py note
     "--conf", ("spark.sql.optimizer.excludedRules="
                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"),
     "--conf", "spark.sql.adaptive.enabled=true",
