@@ -1,0 +1,76 @@
+"""Plan-health regression guards for the round-3 optimizer fixes.
+
+Each test pins a measured pathology (DESIGN.md §7) so a config or code
+change that reintroduces it fails loudly:
+
+* the unrolled native encode must stay one fused codegen span with zero
+  Python stages and exactly one Exchange for an encode+rollup;
+* joining on the encoded cell must PLAN in bounded time (dynamic partition
+  pruning once spent 22 s/invocation at depth 2 and OOM'd at depth 12);
+* exploding ``a5_cell_to_children`` must not evaluate the children HOF
+  below the aggregate (InferFiltersFromGenerate's inferred size() filter).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+import pyspark.sql.functions as F
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_encode_rollup_single_codegen_span_no_python(spark):
+    from a5pg_spark.functions_native import encode_native
+
+    pts = spark.range(1000).selectExpr(
+        "CAST(id % 360 AS DOUBLE) - 180.0 AS lon",
+        "CAST(id % 180 AS DOUBLE) / 2.0 AS lat",
+    )
+    q = (
+        encode_native(pts, "lon", "lat", 9, "cell")
+        .groupBy(F.call_function("a5_cell_to_parent", F.col("cell"), F.lit(4)).alias("p"))
+        .count()
+    )
+    plan = _physical(q)
+    assert "EvalPython" not in plan  # no Python stage anywhere
+    assert plan.count("Exchange") <= 2  # shuffle for the agg (AQE may show one reused)
+
+
+def test_join_on_encoded_cell_plans_in_bounded_time(spark):
+    from a5pg_spark.functions_native import encode_native
+
+    pts = spark.range(100).selectExpr(
+        "id AS pid", "CAST(id % 10 AS DOUBLE) AS lon", "CAST(id % 7 AS DOUBLE) AS lat"
+    )
+    dim = spark.createDataFrame([(0,)], "cell long")
+    enc = encode_native(pts, "lon", "lat", 12, "__cell")  # depth 22
+    j = enc.join(dim, enc["__cell"] == dim["cell"], "left")
+    t0 = time.time()
+    j._jdf.queryExecution().executedPlan()
+    # 22 s per PartitionPruning invocation before the fix; generous margin
+    # for throttled hosts — regression makes this minutes-to-OOM, not <15 s
+    assert time.time() - t0 < 15.0
+
+
+def test_children_explode_hof_stays_above_aggregate(spark):
+    q = spark.sql("""
+        SELECT child, SUM(n) AS n
+        FROM (SELECT explode(kids) AS child, n FROM
+              (SELECT a5_cell_to_children(c3, 5) AS kids, n FROM
+               (SELECT a5_synth_cell(id, 3) AS c3, COUNT(*) AS n
+                FROM range(1000) GROUP BY 1)))
+        GROUP BY 1
+    """)
+    opt = _optimized(q)
+    # the inferred size(...)>0 filter used to be substituted below the
+    # aggregate: the scan-side Filter then carried the transform() lambda
+    below_agg = opt.split("Aggregate", 2)[-1]  # below the inner aggregate
+    assert not re.search(r"Filter .*size\(.*transform", below_agg)
