@@ -202,8 +202,14 @@ Configs identical across runs (AQE + skew-join on, Arrow on, shuffle
 partitions 64).  Machine-readable: `BENCH/scaling.json`.  Output invariants
 (join rows, mosaic cells, caption equality) identical across all runs.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # append a dated section instead of clobbering the curated history
+    # (round 3: an overwrite here once destroyed the quiet-window record)
+    import time as _time
+
+    stamp = _time.strftime("%F %T")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(f"\n\n<!-- run_scaling.py {stamp} -->\n## Harness run {stamp}\n"
+                + md.split("\n", 1)[1])
     print(json.dumps(result))
 
 
