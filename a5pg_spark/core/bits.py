@@ -252,5 +252,27 @@ def decode_components(cell: int) -> tuple:
 
 
 def is_valid_i64(cells) -> np.ndarray:
-    """True where the u64 id fits in signed i64 (reference's BIGINT guard)."""
+    """True where the u64 id fits in signed i64 (reference's BIGINT guard).
+
+    NOT a structural check: ids with origin >= 32 legitimately wrap negative
+    as int64 and are fully decodable — use :func:`is_valid_structural` to
+    test whether a bit pattern is a well-formed A5 id at all."""
     return _as_u64(cells) <= np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def is_valid_structural(cells) -> np.ndarray:
+    """True where the 64-bit pattern is a well-formed cell id: nonzero, a
+    marker bit at an odd position p = 59 - 2*res (res 0..29 -> p in 1..57,
+    with res 0/1 sharing p = 57), zeros below it, and origin <= 59.
+
+    This is the guard decode UDFs use to NULL out garbage input instead of
+    decoding a different cell (corrupted low bits move the marker to an even
+    position about half the time, so float64-translation damage on res >= 25
+    ids is caught here too)."""
+    u = _as_u64(cells)
+    low = u & (~u + np.uint64(1))  # lowest set bit (0 when u == 0)
+    # powers of two are exact in float64, so log2 gives the exact position
+    with np.errstate(divide="ignore"):
+        p = np.where(low == 0, 64, np.log2(low.astype(np.float64))).astype(np.int64)
+    origin = (u >> np.uint64(58)).astype(np.int64)
+    return (u != 0) & (p % 2 == 1) & (p <= 57) & (origin <= 59)

@@ -190,40 +190,43 @@ def _strict_mask(*series) -> pd.Series:
     return m
 
 
-def _ids_i64(cell: pd.Series, validate: bool = True) -> np.ndarray:
-    """LongType series → int64 ndarray, exact for null-free batches.
+def _ids_i64(cell: pd.Series, validate: bool = True) -> tuple:
+    """LongType series → ``(int64 ndarray, invalid bool ndarray)``.
 
-    Null-free Arrow batches arrive int64-backed and cast exactly.  A batch
-    that CONTAINS nulls is converted to float64 by Spark's Arrow→pandas
-    serializer *before* this function sees it (no types_mapper hook in
-    pyspark 4.1), so ids with > 53 significant bits (res ≥ 25) are already
-    corrupted on arrival; silently decoding a *different* cell is worse than
-    failing, so that case raises.  Workaround for callers who need res ≥ 25
-    with nulls: pre-filter nulls or wrap the argument in ``coalesce(c, 0)``
-    and restore nulls outside the UDF (keeps the Arrow batch int64-backed).
-    Nulls (masked separately by callers) become 0 here.
+    ``invalid`` marks rows whose 64-bit pattern is not a valid A5 id,
+    checked UNIFORMLY across every Arrow→pandas backing dtype (previously
+    only float64-backed batches were checked, so the same bad id passed or
+    raised depending on per-batch null placement — an irreproducible
+    failure surface).  Callers null those rows in their output, matching
+    the reference's NULL-for-invalid decode semantics (``src/lib.rs:42-48``
+    ``.ok()?``).  With ``validate=False`` the mask is all-False and raw
+    patterns flow through (``a5_is_valid_i64``'s own path).
+
+    Precision caveat: a batch that CONTAINS nulls arrives float64-backed
+    (no types_mapper hook in pyspark 4.1), so ids with > 53 significant
+    bits (res ≥ 25) are corrupted before this function sees them.  A
+    corrupted id almost always breaks the marker-bit pattern and lands in
+    ``invalid`` → NULL out (not a silently different cell); callers needing
+    res ≥ 25 alongside nulls should pass ``coalesce(cell, 0)`` to keep the
+    batch int64-backed.  Nulls themselves (masked separately by callers)
+    become 0 here.
     """
     if cell.dtype == np.int64:
-        return cell.to_numpy()
-    if cell.dtype == np.float64:
-        # A valid id's significant span is 5 + 2*res bits, so res <= 24 ids
-        # survive the float64 trip exactly (regardless of magnitude); a
-        # res >= 25 id gets its low bits rounded away, which (a) moves the
-        # marker bit and (b) usually breaks the odd/even marker-position
-        # parity — so validity-check what arrived instead of guessing
+        ids = cell.to_numpy()
+        nn = None  # no nulls possible in an int64-backed batch
+    elif cell.dtype == np.float64:
         nn = ~cell.isna().to_numpy()
         ids = cell.fillna(0.0).to_numpy().astype("int64")
-        if validate and nn.any() and not bits.is_valid_i64(ids[nn]).all():
-            raise ValueError(
-                "cell-id batch with nulls arrived float64-backed and carries "
-                "invalid id bit patterns — for res >= 25 ids, precision is "
-                "lost in Spark's Arrow->pandas conversion before the UDF "
-                "runs. Pre-filter nulls or pass coalesce(cell, 0) so the "
-                "batch stays int64-backed."
-            )
-        return ids
-    # nullable Int64 / object: direct exact cast, no float64 intermediate
-    return cell.fillna(0).astype("int64").to_numpy()
+    else:
+        # nullable Int64 / object: direct exact cast, no float64 intermediate
+        nn = ~cell.isna().to_numpy()
+        ids = cell.fillna(0).astype("int64").to_numpy()
+    if not validate:
+        return ids, np.zeros(len(ids), dtype=bool)
+    invalid = ~bits.is_valid_structural(ids)
+    if nn is not None:
+        invalid &= nn  # nulls are not "invalid"; callers mask them already
+    return ids, invalid
 
 
 @pandas_udf(LongType())
@@ -256,31 +259,31 @@ def _lonlat_to_cell_strict_udf(lon: pd.Series, lat: pd.Series, res: pd.Series) -
 @pandas_udf(ArrayType(DoubleType()))
 def _cell_to_lonlat_udf(cell: pd.Series) -> pd.Series:
     na = cell.isna()
-    ids = _ids_i64(cell)
+    ids, bad = _ids_i64(cell)
     lon, lat = cells.cell_to_lonlat(ids)
     pairs = np.stack([lon, lat], axis=-1)
     out = pd.Series(list(pairs))
-    out[na.to_numpy()] = None
+    out[na.to_numpy() | bad] = None
     return out
 
 
 @pandas_udf(DoubleType())
 def _cell_to_lon_udf(cell: pd.Series) -> pd.Series:
     na = cell.isna()
-    ids = _ids_i64(cell)
+    ids, bad = _ids_i64(cell)
     lon, _ = cells.cell_to_lonlat(ids)
     out = pd.Series(lon)
-    out[na.to_numpy()] = np.nan
+    out[na.to_numpy() | bad] = np.nan
     return out
 
 
 @pandas_udf(DoubleType())
 def _cell_to_lat_udf(cell: pd.Series) -> pd.Series:
     na = cell.isna()
-    ids = _ids_i64(cell)
+    ids, bad = _ids_i64(cell)
     _, lat = cells.cell_to_lonlat(ids)
     out = pd.Series(lat)
-    out[na.to_numpy()] = np.nan
+    out[na.to_numpy() | bad] = np.nan
     return out
 
 
@@ -289,7 +292,7 @@ def _cell_to_boundary_udf(
     cell: pd.Series, closed: pd.Series, segments: pd.Series
 ) -> pd.Series:
     na = cell.isna()
-    ids = _ids_i64(cell)
+    ids, bad = _ids_i64(cell)
     # closed/segments may vary per row: group by the distinct (closed, seg)
     # pairs in the batch (callers passing literals pay for one group)
     cl = closed.fillna(True).astype(bool).to_numpy()
@@ -302,7 +305,7 @@ def _cell_to_boundary_udf(
         for i, r in zip(np.nonzero(m)[0], rings):
             out_arr[i] = r.tolist()
     out = pd.Series(out_arr)
-    out[na.to_numpy()] = None
+    out[na.to_numpy() | bad] = None
     return out
 
 
@@ -329,7 +332,7 @@ def _cell_to_wkt_udf(cell: pd.Series, digits: pd.Series) -> pd.Series:
     with PostGIS ryu float formatting; digits < 0 → full shortest-repr
     precision (the 1-arg ST_AsText default)."""
     na = cell.isna()
-    ids = _ids_i64(cell)
+    ids, bad = _ids_i64(cell)
     dg = digits.fillna(-1).astype("int64").to_numpy()
     rings = cells.cell_to_boundary_batch(ids, closed_ring=True)
     out_arr = np.empty(len(ids), dtype=object)
@@ -342,7 +345,7 @@ def _cell_to_wkt_udf(cell: pd.Series, digits: pd.Series) -> pd.Series:
             + "))"
         )
     out = pd.Series(out_arr)
-    out[na.to_numpy()] = None
+    out[na.to_numpy() | bad] = None
     return out
 
 
@@ -351,7 +354,7 @@ def _cell_to_geojson_udf(cell: pd.Series, digits: pd.Series) -> pd.Series:
     """``ST_AsGeoJSON(a5_cell_to_geom(id), digits)`` parity; digits < 0 →
     full shortest-repr precision."""
     na = cell.isna()
-    ids = _ids_i64(cell)
+    ids, bad = _ids_i64(cell)
     dg = digits.fillna(9).astype("int64").to_numpy()
     rings = cells.cell_to_boundary_batch(ids, closed_ring=True)
     out_arr = np.empty(len(ids), dtype=object)
@@ -361,15 +364,15 @@ def _cell_to_geojson_udf(cell: pd.Series, digits: pd.Series) -> pd.Series:
         coords = ",".join(f"[{fmt(x)},{fmt(y)}]" for x, y in ring)
         out_arr[i] = '{"type":"Polygon","coordinates":[[' + coords + "]]}"
     out = pd.Series(out_arr)
-    out[na.to_numpy()] = None
+    out[na.to_numpy() | bad] = None
     return out
 
 
 @pandas_udf(BooleanType())
 def _is_valid_i64_udf(cell: pd.Series) -> pd.Series:
     # validate=False: this function's whole job is to report invalid ids,
-    # so the float64-corruption guard in _ids_i64 must not raise here
-    ids = _ids_i64(cell, validate=False)
+    # so _ids_i64 must hand over the raw bit patterns unmasked
+    ids, _ = _ids_i64(cell, validate=False)
     return pd.Series(bits.is_valid_i64(ids))
 
 

@@ -22,6 +22,8 @@ points within ~1 ulp of a subdivision boundary could ever disagree).
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -91,7 +93,7 @@ def _s_unrolled(d7, keep: list, depth: int):
 
 
 def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell",
-                  s_mode: str = "unroll"):
+                  s_mode: str = "unroll", barrier: bool = True):
     """DataFrame transform: add ``out_col`` = A5 cell id of (lon, lat) at
     ``res`` — entirely JVM-side (no Python workers).
 
@@ -101,6 +103,31 @@ def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell
     re-evaluate them per copy (measured ~200 rows/s vs ~1M rows/s here).
     CollapseProject keeps the boundaries because the reused intermediates are
     non-cheap.
+
+    Pushdown contract (``barrier=True``, the default for ``s_mode='unroll'``):
+    the result is wrapped in a ``CollectMetrics`` node (``df.observe``) that
+    ``PushPredicateThroughNonJoin`` cannot cross, so NO downstream predicate
+    — on ``out_col`` OR on untouched passthrough columns — is substituted
+    into the ~25 unrolled projections.  This barrier is STRUCTURAL: the
+    previous nondeterministic-alias fence (``when(rand(17) > -1, cell)``)
+    only protected the join path — Spark 4.1's PushPredicateThroughNonJoin
+    still substitutes a *Filter* condition through nondeterministic project
+    aliases, exploding the optimizer exponentially (measured: JVM
+    StackOverflow in transformUp after 600 s+ on a res-5 encode with an
+    equality filter on top).  CollectMetrics blocks both paths, keeps the
+    column deterministic AND non-nullable, and costs one accumulator-only
+    exec node (no shuffle, no Python; the encode stays one codegen span —
+    the span boundary sits between encode and consumer).
+
+    Column-pruning note: the barrier also stops column pruning from above,
+    so **select only the columns you need BEFORE calling encode_native** —
+    passthrough columns survive to the scan read otherwise.  Internal
+    operators (spatial join, kNN, tiling) already do both.  To prune the
+    *scan* by a cell region, use :func:`cell_bbox_prefilter` (translates
+    cells into a lon/lat bounding predicate on the source columns — those
+    DO reach the parquet scan as PushedFilters).  ``barrier=False`` yields
+    a pushdown-transparent column — safe for ``s_mode='hof'`` (constant
+    plan size), or when nothing downstream filters/joins on the output.
     """
     if res < 0 or res > bits.MAX_RES:
         raise ValueError(f"resolution out of range 0..{bits.MAX_RES}")
@@ -242,15 +269,56 @@ def encode_native(df, lon_col: str, lat_col: str, res: int, out_col: str = "cell
         .bitwiseOR(F.lit(1 << p).cast("bigint"))
     )
     cell = u.cast("long")
-    if s_mode == "unroll":
-        # Optimizer barrier: a constant-true nondeterministic guard (value is
-        # always `cell`, bit-exact).  Without it, PushDownPredicates rewrites
-        # any downstream join/filter condition on the cell THROUGH the ~25
-        # unrolled projections, substituting the whole chain at each level —
-        # an exponential expression tree (measured: spatial_join planning
-        # went 8 s -> stuck >400 s in catalyst transformUp).  Nondeterministic
-        # aliases are a substitution fence; predicates on the *inputs* are
-        # applied before the encode by construction, so nothing of value is
-        # lost at the scan.
-        cell = F.when(F.rand(17) > F.lit(-1.0), cell)
-    return d8.select(*others, cell.alias(out_col))
+    out = d8.select(*others, cell.alias(out_col))
+    if s_mode == "unroll" and barrier:
+        # Structural optimizer barrier (see the pushdown contract in the
+        # docstring): CollectMetrics is not in PushPredicateThroughNonJoin's
+        # match list, so no predicate is ever substituted into the unroll.
+        # The metric name must be unique per distinct plan subtree; a uuid
+        # keeps two different encodes in one query from colliding (the SAME
+        # node reused via self-join is fine).
+        out = out.observe(f"a5_encode_barrier_{uuid.uuid4().hex[:12]}",
+                          F.count(F.lit(1)).alias("rows"))
+    return out
+
+
+def cell_bbox_prefilter(df, lon_col: str, lat_col: str, cells,
+                        margin_deg: float = 0.0):
+    """Scan-prunable region filter: keep rows whose (lon, lat) falls inside
+    the bounding box of any of ``cells`` (int A5 ids, any resolutions).
+
+    This is the pushdown-safe companion to :func:`encode_native`'s barrier:
+    a predicate on the *encoded* column can never reach the parquet scan
+    anyway (the scan only has lon/lat), so region pruning must be expressed
+    on the source columns.  The boxes are computed driver-side from the
+    cells' densified boundaries (tiny: O(len(cells)) NumPy) and emitted as a
+    plain OR-of-ranges predicate — Catalyst pushes it into the scan as
+    PushedFilters, so file/row-group stats prune at 100 TB.
+
+    Superset semantics: a bbox keeps every point of the cell plus a fringe;
+    follow with an exact equality/contains filter on the encoded cell (cheap
+    — it runs above the encode on the already-pruned rows).  Cells whose
+    boundary spans the antimeridian fall back to a latitude-only band for
+    that cell (correct, just less selective).  ``margin_deg`` widens every
+    box, e.g. to retain kNN ring candidates around the region.
+    """
+    from .core import cells as _cells
+
+    ids = np.asarray(list(cells), dtype=np.int64)
+    if ids.size == 0:
+        return df.filter(F.lit(False))
+    rings = _cells.cell_to_boundary_batch(ids, closed_ring=False, segments=4)
+    disj = None
+    for ring in rings:
+        lons = ring[:, 0]
+        lats = ring[:, 1]
+        lat_pred = (F.col(lat_col) >= float(lats.min() - margin_deg)) & (
+            F.col(lat_col) <= float(lats.max() + margin_deg))
+        if lons.max() - lons.min() > 180.0:  # antimeridian wrap
+            pred = lat_pred
+        else:
+            pred = lat_pred & (
+                F.col(lon_col) >= float(lons.min() - margin_deg)) & (
+                F.col(lon_col) <= float(lons.max() + margin_deg))
+        disj = pred if disj is None else (disj | pred)
+    return df.filter(disj)

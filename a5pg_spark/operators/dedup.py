@@ -321,3 +321,52 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def phash_near_dup_pairs(df: DataFrame, id_col: str = "image_id",
+                         phash_col: str = "phash",
+                         max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    the image-payload analogue of :func:`simhash_near_dup_pairs` over the
+    images table's ``phash`` column (``reference``-side schema: the
+    image+caption input hint carries ``phash:int64`` precisely for this).
+
+    4×16-bit band blocking: a pair with ≤ 3 differing bits shares at least
+    one identical 16-bit band (pigeonhole over 4 bands), so recall is EXACT
+    for ``max_hamming`` ≤ 3; candidates are verified with
+    ``bit_count(xor)``.  100 TB shape: only (id, band) tuples cross the
+    band shuffle, the self-join is an equi-join per band bucket (no all
+    pairs), and verification is JVM bit math on the already-small candidate
+    set.
+    """
+    s = df.select(F.col(id_col), F.col(phash_col).alias("__ph"))
+    banded = s.select(
+        id_col,
+        "__ph",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band_id, "
+                "shiftright(__ph, CAST(b * 16 AS INT)) & CAST(65535 AS BIGINT) AS band_val))"
+            )
+        ).alias("band"),
+    ).select(id_col, "__ph", "band.band_id", "band.band_val")
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.__ph").alias("ph_a"),
+            F.col("r.__ph").alias("ph_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.withColumn("hamming", ham).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

@@ -77,15 +77,14 @@ def get_spark(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
-        # availableNow + applyInPandasWithState(ProcessingTimeTimeout): with
-        # no-data micro-batches ON (default), pending state timeouts (e.g. the
-        # 60-min dedup TTL) make the engine loop "no new data but cleaning up
-        # state" batches until every timeout fires — the query never
-        # terminates (measured: 300 s+ burn, leaked stream at session stop).
-        # OFF means timeouts expire lazily on the next data batch, which is
-        # the semantics the TTL wants, and availableNow terminates as soon as
-        # the source is drained (measured: 7 s).
-        .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        # NOTE: spark.sql.streaming.noDataMicroBatches.enabled is NOT set
+        # here.  Disabling it session-wide (round 2/3) fixed availableNow
+        # termination for the stateful-dedup TTL path, but silently changed
+        # append-mode watermarked aggregations too (final windows are never
+        # emitted without a no-data batch to advance the watermark).  The
+        # conf is runtime-settable, so it is now scoped to the one path that
+        # needs it: streaming/ingest.streaming_dedup sets it on the stream's
+        # own session just before the query is built.
         # HotSpot refuses to JIT-compile methods over ~8 KB of bytecode
         # (DontCompileHugeMethods): the unrolled res>=9 encode fuses ~25
         # projections into one whole-stage-codegen method that crosses that

@@ -298,7 +298,20 @@ def run_stage(
     out = SnapshotTable(out_root)
     hit = out.snapshot_for_lineage(key)
     if hit is not None:
-        return out, hit, True
+        # The lineage hit may be a HISTORICAL snapshot (e.g. a later
+        # stage_version overwrote the table, then the caller re-ran the old
+        # version).  Callers read data through out.scan(spark), which always
+        # reads the CURRENT manifest — returning a stale hit would hand back
+        # a manifest that disagrees with the data scan() serves.  Resume
+        # directly only when the hit IS current; otherwise restore it with a
+        # metadata-only re-commit pointing at the hit's (immutable) data
+        # files, so the current snapshot and the returned manifest agree.
+        if hit["version"] == out._current_version():
+            return out, hit, True
+        man = out._commit("resume-restore", hit["files"], hit["schema"],
+                          hit.get("sort_col"), retain_previous=False,
+                          lineage=key)
+        return out, man, True
     os.makedirs(out.data_dir, exist_ok=True)
     df = fn(spark, dfs)
     man = out.overwrite(df, sort_col=sort_col, cell_col=cell_col, lineage=key)

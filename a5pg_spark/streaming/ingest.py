@@ -26,15 +26,21 @@ def drain_available_now(q, timeout: int = 120) -> None:
     """
     ok = q.awaitTermination(timeout)
     if not ok:
+        # Force-stop, but never let a stop()/await failure REPLACE the
+        # timeout diagnosis — that diagnosis is the whole point of this
+        # helper.  Chain any stop-side error as the cause instead.
+        stop_err = None
+        stopped = False
         try:
             q.stop()
-            q.awaitTermination(30)
-        finally:
-            pass
+            stopped = q.awaitTermination(30)
+        except Exception as e:  # noqa: BLE001 — deliberately broad: py4j
+            stop_err = e
         raise RuntimeError(
             f"availableNow query did not terminate within {timeout}s "
-            "(force-stopped); check noDataMicroBatches / state timeouts"
-        )
+            f"(stop {'succeeded' if stopped else 'FAILED — stream may leak'}); "
+            "check noDataMicroBatches / state timeouts"
+        ) from stop_err
 
 
 def rate_points_stream(spark: SparkSession, rows_per_sec: int = 1000) -> DataFrame:
@@ -60,7 +66,16 @@ def streaming_cell_counts(
     watermark: str = "30 seconds",
 ) -> DataFrame:
     """points stream (event_time, lon, lat) → per-(window, parent cell)
-    arrival counts; watermark bounds state for late data."""
+    arrival counts; watermark bounds state for late data.
+
+    Output-mode note: under ``outputMode('append')`` a window is emitted only
+    once the watermark passes its end, which requires a LATER batch — under
+    ``availableNow`` the tail windows therefore arrive on the trailing
+    no-data micro-batch.  Do not disable
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` for append-mode
+    consumers of this rollup (``streaming_dedup`` scopes that conf to its own
+    path for exactly this reason); ``complete`` mode is unaffected.
+    """
     cells = points.withColumn(
         "cell", a5_lonlat_to_cell(F.col("lon"), F.col("lat"), res)
     )
@@ -86,9 +101,22 @@ def streaming_dedup(
     with a processing-time TTL (bounded state at 100 TB arrival rates: state
     is one byte-ish per key per TTL window, sharded by the shuffle on
     ``id_col``).  The engine-side analogue of the batch ``exact_dedup``
-    for continuous ingest."""
+    for continuous ingest.
+
+    Sets ``spark.sql.streaming.noDataMicroBatches.enabled=false`` on the
+    stream's session (scoped here, not in ``session.py``): with no-data
+    batches ON, pending ProcessingTimeTimeout state (the TTL) makes
+    ``availableNow`` loop cleanup batches until every timeout fires — the
+    query never terminates (measured 300 s+ vs 7 s).  OFF expires timeouts
+    lazily on the next data batch, which is what a TTL wants.  The conf is
+    per-session: if the same session also runs append-mode watermarked
+    aggregations, run them in a separate session or re-enable the conf.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import IntegerType, StructField, StructType
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
     out_schema = events.schema
     state_schema = StructType([StructField("seen", IntegerType())])

@@ -50,6 +50,26 @@ class TestGoldens:
         assert bits.origin_of(int(tokyo)) == 33
         assert not bits.is_valid_i64(np.array([tokyo]))[0]
 
+    def test_structural_validity(self):
+        # every well-formed id is structurally valid, INCLUDING the i64-
+        # overflowing Tokyo id (origin 33 wraps negative — still decodable)
+        tokyo = np.array([0x872F8A8000000000], dtype=np.uint64).view(np.int64)[0]
+        ok = bits.is_valid_structural(
+            np.array([NYC10, WORLD0, tokyo], dtype=np.int64))
+        assert ok.all()
+        # garbage: zero, even marker position, origin > 59, no marker
+        bad = np.array([0, NYC10 & ~(1 << 39) | (1 << 38),
+                        -1 << 62 | (1 << 57) | (1 << 58) | (3 << 60), 1 << 58],
+                       dtype=np.int64)
+        assert not bits.is_valid_structural(bad).any()
+        # res 0..29: encode_components output is always structurally valid
+        rng = np.random.default_rng(3)
+        for res in (0, 1, 5, 25, 29):
+            origin = int(rng.integers(12 if res else 0, 60 if res else 12))
+            s = int(rng.integers(0, 1 << (2 * max(res - 1, 0))))
+            cid = bits.encode_components(origin, s, res)
+            assert bits.is_valid_structural(np.array([cid], dtype=np.int64))[0]
+
 
 class TestLaws:
     @pytest.mark.parametrize("res", [1, 2, 5, 8, 10, 15, 27, 29])

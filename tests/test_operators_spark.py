@@ -155,6 +155,26 @@ class TestDedup:
         d0 = docs.orderBy("doc_id").limit(1).collect()
         assert (d0[0].doc_id, 90001) in found          # identical text → hamming 0
 
+    def test_phash_near_dup(self, spark):
+        """Planted ≤3-bit pairs are all recovered with exact Hamming values;
+        the planted 5-bit pair shares bands (candidate) but is rejected."""
+        from __spark_entry__ import _phash_fixture
+
+        rows = _phash_fixture(64)
+        df = spark.createDataFrame(rows, "image_id string, phash long")
+        pairs = dedup.phash_near_dup_pairs(df, max_hamming=3).toPandas()
+        got = {(a, b): h for a, b, h in
+               zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+        ph = dict(rows)
+        for i in range(64):
+            a, b = f"img{i-1:012d}", f"img{i:012d}"
+            if i % 4 == 1:
+                want = bin(ph[a] ^ ph[b]).count("1")
+                assert got.get((a, b)) == want and want <= 3
+            if i % 16 == 2:
+                c = f"img{i-2:012d}"
+                assert (c, b) not in got  # hamming 5: candidate, rejected
+
     def test_embedding_near_dup(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         one = emb.limit(1).collect()[0]

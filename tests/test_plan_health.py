@@ -74,3 +74,67 @@ def test_children_explode_hof_stays_above_aggregate(spark):
     # aggregate: the scan-side Filter then carried the transform() lambda
     below_agg = opt.split("Aggregate", 2)[-1]  # below the inner aggregate
     assert not re.search(r"Filter .*size\(.*transform", below_agg)
+
+
+def test_cell_bbox_prefilter_reaches_scan_and_fence_holds(spark, tmp_path):
+    """cell_bbox_prefilter's lon/lat predicate must reach the parquet scan as
+    PushedFilters (the pushdown-safe route around the encode barrier), and an
+    exact post-encode cell filter on top must still plan in bounded time
+    (the barrier keeps the predicate from substituting through the unroll)."""
+    import time as _t
+
+    from a5pg_spark.core import cells as C
+    from a5pg_spark.functions_native import cell_bbox_prefilter, encode_native
+
+    src = str(tmp_path / "pts")
+    spark.range(2000).selectExpr(
+        "CAST(id % 360 AS DOUBLE) - 180.0 AS lon",
+        "CAST(id % 160 AS DOUBLE) / 2.0 - 40.0 AS lat",
+    ).write.parquet(src)
+    pts = spark.read.parquet(src)
+
+    import numpy as np
+
+    target = int(C.lonlat_to_cell(np.array([-73.98]), np.array([40.75]),
+                                  np.array([5]))[0])
+    pre = cell_bbox_prefilter(pts, "lon", "lat", [target])
+    enc = encode_native(pre, "lon", "lat", 5, "cell")
+    q = enc.filter(F.col("cell") == target)
+
+    t0 = _t.time()
+    _physical(q)
+    assert _t.time() - t0 < 30.0  # barrier holds: no substitution explosion
+    # simple-mode toString truncates the scan line, so read the formatted
+    # explain for the full PushedFilters list
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = q._jdf.queryExecution().explainString(mode)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m is not None and ("lat" in m.group(1) and "lon" in m.group(1)), plan
+
+    # superset semantics: bbox keeps every row of the cell itself
+    exact = {(r.lon, r.lat) for r in q.collect()}
+    full = encode_native(pts, "lon", "lat", 5, "cell")
+    want = {(r.lon, r.lat)
+            for r in full.collect() if r.cell == target}
+    assert exact == want
+
+
+def test_encode_native_barrier_survives_filter_planning(spark):
+    """A FILTER (not just a join) on the encode output must plan in bounded
+    time.  This is the case the old nondeterministic rand()-fence did NOT
+    cover: Spark 4.1's PushPredicateThroughNonJoin substitutes a Filter
+    condition through nondeterministic project aliases (measured: JVM
+    StackOverflow after 600 s+); the CollectMetrics barrier blocks it
+    structurally."""
+    import time as _t
+
+    from a5pg_spark.functions_native import encode_native
+
+    pts = spark.range(200).selectExpr(
+        "CAST(id AS DOUBLE) / 3.0 AS lon", "CAST(id % 70 AS DOUBLE) AS lat")
+    enc = encode_native(pts, "lon", "lat", 8, "cell")
+    q = enc.filter(F.col("cell") % 7 == 0)
+    t0 = _t.time()
+    _physical(q)
+    assert _t.time() - t0 < 20.0
