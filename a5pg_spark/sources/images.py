@@ -120,6 +120,39 @@ def png_decode(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(arr[:, 1:])
 
 
+def bmp_encode(img: np.ndarray) -> bytes:
+    """Grayscale 8-bit BMP (BITMAPINFOHEADER, BI_RGB, 256-entry gray
+    palette, bottom-up rows, 4-byte row padding) — a second REAL lossless
+    codec (spec-conformant; any image viewer opens it), so lossless-format
+    handling is exercised by two independent byte layouts, not just PNG."""
+    h, w = img.shape
+    pad = (-w) % 4
+    stride = w + pad
+    palette = b"".join(bytes((v, v, v, 0)) for v in range(256))
+    off = 14 + 40 + len(palette)
+    size = off + stride * h
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, stride * h,
+                       2835, 2835, 256, 0)
+    rows = img.astype(np.uint8)
+    if pad:
+        rows = np.pad(rows, ((0, 0), (0, pad)))
+    return hdr + info + palette + rows[::-1].tobytes()
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    assert data[:2] == b"BM", "not a BMP"
+    (off,) = struct.unpack("<I", data[10:14])
+    hsz, w, h, planes, bpp, comp = struct.unpack("<IiiHHI", data[14:34])
+    assert hsz >= 40 and bpp == 8 and comp == 0, "only gray8 BI_RGB supported"
+    flip = h > 0
+    h = abs(h)
+    stride = (w + 3) & ~3
+    arr = np.frombuffer(data[off:off + stride * h], dtype=np.uint8)
+    arr = arr.reshape(h, stride)[:, :w]
+    return np.ascontiguousarray(arr[::-1] if flip else arr)
+
+
 _FJPG_MAGIC = b"FJPG"
 _FJPG_Q = 4  # quantization step → PSNR ≈ 20·log10(255·√12/4) ≈ 42 dB
 
@@ -141,6 +174,8 @@ def fake_jpeg_decode(data: bytes) -> np.ndarray:
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
+    if fmt == "bmp":
+        return bmp_decode(data)
     if fmt == "jpeg":
         return fake_jpeg_decode(data)
     raise NotImplementedError(

@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "embed_ann_srp",             # single-pass multi-table SRP ANN (round 2)
     "snapshot_pruned_scan",      # snapshot table + footer-stats file pruning
     "images_tiling_mosaic",      # raster decode → pixel→cell → mosaic (round 3: exact oracle)
+    "images_phash_neardup",      # banded Hamming self-join over phash (round 4)
 ]
 
 

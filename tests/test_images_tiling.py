@@ -24,6 +24,41 @@ class TestCodecs:
         out = I.fake_jpeg_decode(I.fake_jpeg_encode(img))
         assert I.psnr(img, out) >= 40.0  # lossy invariant
 
+    def test_bmp_lossless_roundtrip_and_padding(self):
+        rng = np.random.default_rng(2)
+        # widths exercising all four 4-byte row-padding cases
+        for w in (32, 33, 34, 35):
+            img = rng.integers(0, 256, size=(24, w), dtype=np.uint8)
+            data = I.bmp_encode(img)
+            assert data[:2] == b"BM" and len(data) % 4 == 2  # 14-byte header
+            out = I.bmp_decode(data)
+            assert np.array_equal(img, out)
+
+    def test_lossless_codecs_agree(self):
+        """PNG and BMP are independent byte layouts of the same pixels."""
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(48, 33), dtype=np.uint8)
+        assert np.array_equal(
+            I.png_decode(I.png_encode(img)),
+            I.bmp_decode(I.bmp_encode(img)),
+        )
+
+    def test_bmp_tiling_end_to_end(self, spark):
+        """A BMP-encoded image flows through decode→georef→encode tiling
+        with exact pixel conservation, same as PNG."""
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(24, 33), dtype=np.uint8)
+        ph = I.phash_for_point(-3.7037, 40.41677)
+        row = [("bmp0", I.bmp_encode(img), 33, 24, "bmp", "cap bmp0", ph)]
+        df = spark.createDataFrame(
+            row, "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long")
+        tiles = tiling.pixels_to_cells(df, res=14)
+        agg = tiles.agg(F.sum("n_pixels").alias("n"),
+                        F.sum("sum_value").alias("s")).collect()[0]
+        assert int(agg.n) == 24 * 33
+        assert int(agg.s) == int(img.sum())
+
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError):
             I.decode_image(b"xxxx", "webp")
