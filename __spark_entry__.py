@@ -1516,8 +1516,75 @@ def _phash_neardup_oracle_sql() -> str:
 ORACLES_SQL["images_phash_neardup"] = _phash_neardup_oracle_sql()
 
 
+def _q_images_knn(spark, sf_dir):
+    """kNN IMAGE lookup (north-star workload: "kNN image lookup via A5 ring
+    expansion"): for 4 probe points, the 5 nearest images by capture-point
+    great-circle distance, via the exact ring-expansion kNN operator over
+    the image fixture's phash-derived capture points.  EXACT oracle:
+    brute-force haversine over the same VALUES-embedded fixture."""
+    _prep(spark, sf_dir)
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.knn import knn_join
+    from a5pg_spark.sources.images import with_capture_point
+
+    q = spark.createDataFrame(pd.DataFrame({
+        "qid": [0, 1, 2, 3],
+        "lon": [-73.9857, 139.6503, -3.7037, 18.4241],
+        "lat": [40.758, 35.6762, 40.41677, -33.9249]}))
+    imgs = spark.createDataFrame(_phash_fixture(),
+                                 "image_id string, phash long")
+    pts = with_capture_point(imgs).select(
+        F.col("image_id").alias("pid"), "lon", "lat")
+    out = knn_join(q, pts, k=5, res=3)
+    return out.select("qid", "pid", F.round("dist_m", 2).alias("dist_m"),
+                      "rk").orderBy("qid", "rk")
+
+
+def _images_knn_oracle_sql() -> str:
+    vals = ",".join(f"('{i}',{p})" for i, p in _phash_fixture())
+    cap_mod = 360000000 * 180000000
+    return f"""
+    WITH probes(qid, qlon, qlat) AS (
+      SELECT * FROM (VALUES
+        (0, CAST(-73.9857 AS DOUBLE), CAST(40.758 AS DOUBLE)),
+        (1, CAST(139.6503 AS DOUBLE), CAST(35.6762 AS DOUBLE)),
+        (2, CAST(-3.7037 AS DOUBLE), CAST(40.41677 AS DOUBLE)),
+        (3, CAST(18.4241 AS DOUBLE), CAST(-33.9249 AS DOUBLE)))),
+    imgs(pid, phash) AS (VALUES {vals}),
+    pts AS (
+      SELECT pid,
+             ((((phash % {cap_mod}) + {cap_mod}) % {cap_mod}) % 360000000)
+               / 1e6 - 180.0 AS lon,
+             ((((phash % {cap_mod}) + {cap_mod}) % {cap_mod}) // 360000000)
+               / 1e6 - 90.0 AS lat
+      FROM imgs
+    ),
+    d AS (
+      SELECT qid, pid,
+             2.0 * CAST(6371007.1809184747 AS DOUBLE) * asin(sqrt(
+               pow(sin((radians(lat) - radians(qlat)) / 2), 2)
+               + cos(radians(qlat)) * cos(radians(lat))
+                 * pow(sin((radians(lon) - radians(qlon)) / 2), 2))) AS dist_m
+      FROM probes CROSS JOIN pts
+    ),
+    rk_ AS (
+      SELECT qid, pid, dist_m,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_m ASC, pid ASC) AS rk
+      FROM d
+    )
+    SELECT qid, pid, ROUND(dist_m, 2) AS dist_m, rk
+    FROM rk_ WHERE rk <= 5 ORDER BY qid, rk
+"""
+
+
+ORACLES_SQL["images_knn_capture"] = _images_knn_oracle_sql()
+
+
 _OPERATOR_QUERIES = {
     "images_phash_neardup": _q_images_phash_neardup,
+    "images_knn_capture": _q_images_knn,
     "a5_compact_roundtrip": _q_compact_roundtrip,
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
     "snapshot_stage_resume": _q_snapshot_stage_resume,

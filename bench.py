@@ -38,10 +38,26 @@ BENCH_QUERIES = [
 ]
 
 
+def _host_probe(seconds: float = 1.5) -> int:
+    """Single-thread pure-python spin rate — evidence of host-cap state at
+    record time (this VM applies time-varying CPU capping that is invisible
+    as steal%; see BENCH/BASELINE.md).  Quiet-window reference on this host:
+    ~25-35M loops/s; capped windows measure a fraction of that.  Recorded in
+    the JSON so a slow suite can be attributed to the window, not the plans."""
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        for _ in range(100000):
+            pass
+        n += 100000
+    return int(n / (time.time() - t0))
+
+
 def main() -> None:
     import __spark_entry__ as E
     from a5pg_spark.session import get_spark
 
+    probe_before = _host_probe()
     t_start = time.time()
     spark = get_spark(shuffle_partitions=max(CPUS, 32))
     spark.sparkContext.setLogLevel("ERROR")
@@ -119,6 +135,8 @@ def main() -> None:
         "encode_udf_sec": round(encode_udf_sec, 3),
         "throughput_udf_pts_per_sec": round(n_points / encode_udf_sec, 1),
         "spatial_join_images_per_sec": sj_ips,
+        "host_probe_loops_per_sec": {"before": probe_before,
+                                     "after": _host_probe()},
     }
     spark.stop()
     print(json.dumps(result))
