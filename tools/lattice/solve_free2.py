@@ -474,7 +474,11 @@ def main():
     log_progress(f"sweep start: {len(cfgs)} canonical configs, "
                  f"{NWORK} workers")
     anchors, parts = load_parts()
-    per_cfg = 2400.0
+    # a solution-bearing config resolves fast (planted self-test: <1 s);
+    # exhaustive refutation is the slow path — cap per-config time so the
+    # sweep covers every config, and record TIMEOUTs honestly for a
+    # later deeper pass
+    per_cfg = 900.0
     jobs = [(i, hv, sx, sy, per_cfg) for i, (hv, sx, sy) in enumerate(cfgs)]
     t0 = time.time()
     with mp.Pool(NWORK) as pool:
