@@ -118,6 +118,51 @@ def test_streaming_cell_counts_watermarked(spark, src_dir, tmp_path_factory):
         assert (r.end - r.start).total_seconds() == 10.0
 
 
+def test_streaming_cell_counts_append_emits_closed_windows(
+    spark, src_dir, tmp_path_factory
+):
+    """APPEND-mode watermarked rollup under availableNow: finalized windows
+    must be emitted.  This is the case the round-2/3 session-wide
+    `noDataMicroBatches.enabled=false` silently broke (a closed window is
+    only emitted once a LATER batch advances the watermark — with no-data
+    batches off, availableNow ends before that happens); the conf is now
+    scoped inside streaming_dedup, so append consumers get the default
+    semantics and the trailing no-data micro-batch flushes closed windows."""
+    from a5pg_spark import functions as A
+    from a5pg_spark.streaming.ingest import drain_available_now, streaming_cell_counts
+
+    A.register(spark)
+    # streaming_dedup (possibly run earlier on this shared session) scopes
+    # noDataMicroBatches=false onto the session; per its documented contract,
+    # append-mode consumers on the same session re-enable it first
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    # batch 0: window [12:00:00, 12:00:10); batch 6 (60 s later) pushes the
+    # 30 s watermark far past that window's end
+    _write_batch(spark, src_dir, _rows(0, [1, 2, 3]), 1)
+    _write_batch(spark, src_dir, _rows(6, [7]), 1)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_cell_counts(stream.select("event_time", "lon", "lat"), res=7)
+    ck = str(tmp_path_factory.mktemp("ck_append"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cells_append_out")
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q, timeout=120)
+    rows = spark.sql("SELECT * FROM cells_append_out").collect()
+    # the first window is strictly below the final watermark -> emitted
+    closed = [r for r in rows if r.start.second == 0 and r.start.minute == 0]
+    assert sum(r.n for r in closed) == 3
+
+
 def test_streaming_dedup_resumes_from_checkpoint(spark, src_dir, tmp_path_factory):
     """Checkpoint-resume: a second availableNow run over a grown directory
     picks up where the first stopped — previously-seen keys stay deduped."""
