@@ -44,7 +44,12 @@ GROUP = sys.argv[1] if len(sys.argv) > 1 else "Z22"
 BUDGET = float(sys.argv[2]) if len(sys.argv) > 2 else 86400.0
 NWORK = int(sys.argv[3]) if len(sys.argv) > 3 else max(1, (os.cpu_count() or 8) - 8)
 SELFTEST = len(sys.argv) > 4 and sys.argv[4] == "selftest"
-PROGRESS = "tools/lattice/free2_progress.log"
+# argv[5]: per-config time cap (seconds); argv[6]: optional comma-separated
+# cfg-index subset (e.g. a TIMEOUT retry list from a prior sweep's log)
+PER_CFG = float(sys.argv[5]) if len(sys.argv) > 5 else 900.0
+CFG_SUBSET = (set(int(x) for x in sys.argv[6].split(","))
+              if len(sys.argv) > 6 else None)
+PROGRESS = os.environ.get("FREE2_PROGRESS", "tools/lattice/free2_progress.log")
 
 GBOX = [(a, b) for a in range(-2, 3) for b in range(-2, 3)]
 GAX = list(range(-2, 3))
@@ -478,8 +483,10 @@ def main():
     # exhaustive refutation is the slow path — cap per-config time so the
     # sweep covers every config, and record TIMEOUTs honestly for a
     # later deeper pass
-    per_cfg = 900.0
-    jobs = [(i, hv, sx, sy, per_cfg) for i, (hv, sx, sy) in enumerate(cfgs)]
+    per_cfg = PER_CFG
+    jobs = [(i, hv, sx, sy, per_cfg) for i, (hv, sx, sy) in enumerate(cfgs)
+            if CFG_SUBSET is None or i in CFG_SUBSET]
+    log_progress(f"jobs={len(jobs)} per_cfg={per_cfg}")
     t0 = time.time()
     with mp.Pool(NWORK) as pool:
         for cfg_i, hv, sx, sy, sol, dt in pool.imap_unordered(worker, jobs):
