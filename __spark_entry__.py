@@ -807,6 +807,69 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
 ORACLES_SQL["dedup_minhash_pairs"] = _minhash_oracle_sql()
 
 
+def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-duplicate pairs over documents, portable-hash mode: the
+    32-bit polynomial token hash + majority bit-fold + 4×8-bit band blocking
+    + Hamming verify replay exactly in the DuckDB oracle (the 64-bit
+    xxhash64 default stays covered by pytest's planted-pair tests).  Band
+    blocking gives exact recall for Hamming ≤ 3 by pigeonhole."""
+    _prep(spark, sf_dir)
+    from a5pg_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.table("documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3,
+                                  hash_mode="portable").orderBy("id_a", "id_b")
+
+
+# DuckDB replica of simhash_near_dup_pairs(hash_mode='portable'): same
+# tokenization (lower/trim/\s+ split, empties dropped), same per-token
+# polynomial fold (acc*131 + code mod 2^31), same 32-bit majority fold,
+# same 4x8-bit bands, same Hamming<=3 verify.
+ORACLES_SQL["dedup_simhash_pairs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> length(t) > 0) AS ts
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(ts, t ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''),
+                              c -> CAST(ord(c) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 2147483648)) AS hv
+  FROM toks
+),
+sh AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(range(0, 32), k ->
+           CASE WHEN coalesce(list_sum(list_transform(hv,
+                  h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                THEN CAST(1 AS BIGINT) << k ELSE CAST(0 AS BIGINT) END)), 0)
+           AS BIGINT) AS simhash
+  FROM hs
+),
+banded AS (
+  SELECT doc_id, simhash, UNNEST(range(0, 4)) AS band_id FROM sh
+),
+cand AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sh_a, r.simhash AS sh_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id
+   AND (l.simhash >> (l.band_id * 8)) & 255 = (r.simhash >> (r.band_id * 8)) & 255
+   AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via the df-pruned inverted index
     (operators/dedup.py:ngram_jaccard_pairs) — deterministic candidates,
@@ -1418,9 +1481,9 @@ def _q_stream_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    # noDataMicroBatches is off in session.py, so availableNow terminates as
-    # soon as both files are processed (~7 s); the helper force-stops + raises
-    # on overrun so a hung stream can never leak into later queries.
+    # noDataMicroBatches is off (set above, per-query), so availableNow
+    # terminates as soon as both files are processed (~7 s); the helper
+    # force-stops + raises on overrun so a hung stream can't leak.
     drain_available_now(q, timeout=120)
     return (
         spark.read.parquet(sink)
@@ -1594,6 +1657,7 @@ _OPERATOR_QUERIES = {
     "spatial_join_elephant": _q_spatial_join_elephant,
     "knn_probe_cities": _q_knn_points,
     "dedup_minhash_pairs": _q_dedup_minhash,
+    "dedup_simhash_pairs": _q_dedup_simhash,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "text_annotate_agg": _q_text_annotate,
     "embed_ann_srp": _q_embed_ann_srp,

@@ -208,24 +208,66 @@ def _simhash_fold(token_hashes: pd.Series) -> pd.Series:
     return pd.Series(out.view(np.int64))
 
 
-def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Add a 64-bit ``simhash`` column (token hashing JVM-side, fold in Arrow)."""
+def _poly_token_hashes(s: str) -> np.ndarray:
+    """Portable per-token hash: acc = (acc*131 + code) mod 2^31 over the
+    token's character codes — byte-identical to the DuckDB list_reduce
+    replica in the driver oracle."""
+    out = []
+    for t in s.lower().strip().split():
+        codes = (np.frombuffer(t.encode(), dtype=np.uint8).astype(np.int64)
+                 if t.isascii() else
+                 np.array([ord(c) for c in t], dtype=np.int64))
+        acc = 0
+        for c in codes:
+            acc = (acc * 131 + int(c)) % 2147483648
+        out.append(acc)
+    return np.array(out, dtype=np.int64)
+
+
+@pandas_udf(LongType())
+def _simhash_fold_portable(texts: pd.Series) -> pd.Series:
+    """Tokenize + portable hash + 32-bit majority fold in one Arrow pass."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    ks = np.arange(32, dtype=np.int64)
+    for i, s in enumerate(texts):
+        if s is None:
+            continue
+        hs = _poly_token_hashes(s)
+        if hs.size == 0:
+            continue
+        votes = (2 * ((hs[:, None] >> ks[None, :]) & 1) - 1).sum(axis=0)
+        out[i] = int(((votes > 0).astype(np.int64) << ks).sum())
+    return pd.Series(out)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            hash_mode: str = "xxhash64") -> DataFrame:
+    """Add a ``simhash`` column.  ``hash_mode="xxhash64"`` (default): 64-bit,
+    token hashing JVM-side, fold in Arrow.  ``hash_mode="portable"``: 32-bit,
+    polynomial token hash — the whole pipeline replays exactly in ANSI SQL
+    (driver oracle)."""
+    if hash_mode == "portable":
+        return df.withColumn("simhash", _simhash_fold_portable(F.col(text_col)))
     toks = F.expr(f"transform(split(lower(trim({text_col})), '\\\\s+'), t -> xxhash64(t))")
     return df.withColumn("simhash", _simhash_fold(toks))
 
 
 def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via 4×16-bit
-    band blocking (exact for ≤ 3 differing bits — pigeonhole)."""
-    s = simhash(df, text_col).select(id_col, "simhash")
+                           text_col: str = "text", max_hamming: int = 3,
+                           hash_mode: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via band blocking
+    (4 bands ⇒ exact recall for ≤ 3 differing bits — pigeonhole).  64-bit
+    hash → 4×16-bit bands; portable 32-bit hash → 4×8-bit bands."""
+    band_bits, band_mask = (8, 255) if hash_mode == "portable" else (16, 65535)
+    s = simhash(df, text_col, hash_mode=hash_mode).select(id_col, "simhash")
     banded = s.select(
         id_col,
         "simhash",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), b -> struct(b AS band_id, "
-                "shiftright(simhash, CAST(b * 16 AS INT)) & CAST(65535 AS BIGINT) AS band_val))"
+                f"shiftright(simhash, CAST(b * {band_bits} AS INT)) & "
+                f"CAST({band_mask} AS BIGINT) AS band_val))"
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.band_id", "band.band_val")
@@ -245,7 +287,7 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")

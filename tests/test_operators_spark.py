@@ -155,6 +155,20 @@ class TestDedup:
         d0 = docs.orderBy("doc_id").limit(1).collect()
         assert (d0[0].doc_id, 90001) in found          # identical text → hamming 0
 
+    def test_simhash_portable_mode(self, spark, docs):
+        """Portable 32-bit mode: identical text still pairs at hamming 0,
+        hashes stay within 32 bits, and the identical-text law holds —
+        equal text ⇒ equal simhash."""
+        pairs = dedup.simhash_near_dup_pairs(
+            docs, max_hamming=3, hash_mode="portable"
+        ).toPandas()
+        got = {(a, b): h for a, b, h in
+               zip(pairs.id_a, pairs.id_b, pairs.hamming)}
+        d0 = docs.orderBy("doc_id").limit(1).collect()
+        assert got.get((d0[0].doc_id, 90001)) == 0
+        sh = dedup.simhash(docs, hash_mode="portable").select("simhash").toPandas()
+        assert ((sh.simhash >= 0) & (sh.simhash < (1 << 32))).all()
+
     def test_phash_near_dup(self, spark):
         """Planted ≤3-bit pairs are all recovered with exact Hamming values;
         the planted 5-bit pair shares bands (candidate) but is rejected."""
