@@ -317,6 +317,7 @@ def fcorner_worker(args):
     anchors, parts = load_parts()
     els, mul = group("Z22")
     hits = []
+    ntimeout = 0
     for A, corner, actname, hv, sx, sy in chunk:
         action = refl_center if actname == "refl_center" else refl_sign
         (a, b), (c, dd) = A
@@ -329,13 +330,14 @@ def fcorner_worker(args):
             sol = solve_tables(mul, hv, sx, sy, G, anchors, parts,
                                time.time() + 60)
         except Budget:
-            sol = None
+            ntimeout += 1
+            continue
         if sol:
             sol["frame"] = [list(A[0]), list(A[1])]
             sol["corner"] = {str(d): list(corner[d]) for d in corner}
             sol["action"] = actname
             hits.append(sol)
-    return hits
+    return hits, ntimeout
 
 
 def fcorner_main(nworkers):
@@ -344,15 +346,16 @@ def fcorner_main(nworkers):
     log_progress(f"fcorner sweep start: {len(cfgs)} configs")
     t0 = time.time()
     chunks = [cfgs[i::nworkers * 8] for i in range(nworkers * 8)]
-    hits = []
+    hits, ntimeout = [], 0
     with mp.Pool(nworkers) as pool:
-        for hs in pool.imap_unordered(fcorner_worker, chunks):
+        for hs, nt in pool.imap_unordered(fcorner_worker, chunks):
             hits.extend(hs)
+            ntimeout += nt
             for sol in hs:
                 log_progress(f"fcorner SOLUTION {json.dumps(sol)}")
                 print("SOLUTION", json.dumps(sol), flush=True)
     log_progress(f"fcorner sweep done: {len(cfgs)} configs, {len(hits)} "
-                 f"solutions, {time.time()-t0:.0f}s")
+                 f"solutions, {ntimeout} TIMEOUTs, {time.time()-t0:.0f}s")
     if hits:
         json.dump(hits, open("tools/lattice/leafstate_fcorner_hits.json",
                              "w"), indent=1)
@@ -398,6 +401,7 @@ def mcorner_worker(args):
             for d in range(4) for s in range(4)}
     hits = []
     n = 0
+    ntimeout = 0
     for A in frames():
         (a, b), (c, dd) = A
         G = {k: (a * gx + b * gy, c * gx + dd * gy)
@@ -408,13 +412,14 @@ def mcorner_worker(args):
                 sol = solve_tables(mul, hv, 0, 0, G, anchors, parts,
                                    time.time() + 60, M=M)
             except Budget:
-                sol = None
+                ntimeout += 1
+                continue
             if sol:
                 sol["frame"] = [list(A[0]), list(A[1])]
                 sol["corner"] = {str(d): list(corner[d]) for d in corner}
                 sol["action"] = actname
                 hits.append(sol)
-    return hits, n
+    return hits, n, ntimeout
 
 
 def mcorner_main(nworkers, shard=0, nshards=1):
@@ -426,24 +431,115 @@ def mcorner_main(nworkers, shard=0, nshards=1):
                  f"{len(frames()) * len(dets4())} (M,frame) combos "
                  f"(shard {shard}/{nshards})")
     t0 = time.time()
-    hits, total, done = [], 0, 0
+    hits, total, ntimeout, done = [], 0, 0, 0
     with mp.Pool(nworkers) as pool:
-        for hs, n in pool.imap_unordered(mcorner_worker, tasks):
+        for hs, n, nt in pool.imap_unordered(mcorner_worker, tasks):
             hits.extend(hs)
             total += n
+            ntimeout += nt
             done += 1
             if done % 256 == 0:
-                log_progress(f"mcorner progress {done}/{len(tasks)} tasks "
-                             f"({time.time()-t0:.0f}s)")
+                log_progress(f"mcorner progress {done}/{len(tasks)} tasks, "
+                             f"{ntimeout} timeouts ({time.time()-t0:.0f}s)")
             for sol in hs:
                 log_progress(f"mcorner SOLUTION {json.dumps(sol)}")
                 print("SOLUTION", json.dumps(sol), flush=True)
     log_progress(f"mcorner sweep done: {total} configs, {len(hits)} "
-                 f"solutions, {time.time()-t0:.0f}s")
+                 f"solutions, {ntimeout} TIMEOUTs, {time.time()-t0:.0f}s")
     if hits:
         json.dump(hits, open("tools/lattice/leafstate_mcorner_hits.json",
                              "w"), indent=1)
     print(f"mcorner sweep: {len(hits)} solutions over {total} configs")
+
+
+# ------------------------------------------- group-equivariant corners
+def d4_action(s, p, variant):
+    """Dihedral action of D4 element s (r = s%4 rots, f = s//4 refl) on a
+    corner p.  variant: 'cRF'/'cFR' centered (about cell center),
+    'oRF'/'oFR' about the origin; RF = rotate-then-flip, FR = flip-then-
+    rotate."""
+    r, f = s % 4, s // 4
+    if variant[0] == "c":
+        u, v = 2 * p[0] - 1, 2 * p[1] - 1
+    else:
+        u, v = p
+    def rot(u, v, r):
+        for _ in range(r):
+            u, v = -v, u
+        return u, v
+    if variant[1:] == "RF":
+        u, v = rot(u, v, r)
+        if f:
+            v = -v
+    else:
+        if f:
+            v = -v
+        u, v = rot(u, v, r)
+    if variant[0] == "c":
+        return ((u + 1) // 2, (v + 1) // 2)
+    return (u, v)
+
+
+def gcorner_worker(args):
+    """One (variant, perm, hv) task over D4 states; loops M x small frames."""
+    variant, perm, hv = args
+    anchors, parts = load_parts()
+    els, mul = group("D4")
+    corner = {0: (0, 0), 1: perm[0], 2: perm[1], 3: perm[2]}
+    base = {(d, s): d4_action(s, corner[d], variant)
+            for d in range(4) for s in range(8)}
+    FR = [f for f in frames()
+          if all(abs(x) <= 1 for row in f for x in row)]
+    hits, n, ntimeout = [], 0, 0
+    for A in FR:
+        (a, b), (c, dd) = A
+        G = {k: (a * gx + b * gy, c * gx + dd * gy)
+             for k, (gx, gy) in base.items()}
+        for M in dets4():
+            n += 1
+            try:
+                sol = solve_tables(mul, hv, 0, 0, G, anchors, parts,
+                                   time.time() + 60, M=M)
+            except Budget:
+                ntimeout += 1
+                continue
+            if sol:
+                sol["frame"] = [list(A[0]), list(A[1])]
+                sol["corner"] = {str(d): list(corner[d]) for d in corner}
+                sol["variant"] = variant
+                sol["group"] = "D4"
+                hits.append(sol)
+    return hits, n, ntimeout
+
+
+def gcorner_main(nworkers, shard=0, nshards=1):
+    tasks = [(v, perm, hv)
+             for v in ("cRF", "cFR", "oRF", "oFR")
+             for perm in itertools.permutations(CORNERS)
+             for hv in itertools.product(range(8), repeat=4)][shard::nshards]
+    log_progress(f"gcorner(D4) sweep start: {len(tasks)} tasks "
+                 f"(shard {shard}/{nshards})")
+    t0 = time.time()
+    hits, total, ntimeout, done = [], 0, 0, 0
+    with mp.Pool(nworkers) as pool:
+        for hs, n, nt in pool.imap_unordered(gcorner_worker, tasks):
+            hits.extend(hs)
+            total += n
+            ntimeout += nt
+            done += 1
+            if done % 512 == 0:
+                log_progress(f"gcorner progress {done}/{len(tasks)} tasks, "
+                             f"{ntimeout} timeouts ({time.time()-t0:.0f}s)")
+            for sol in hs:
+                log_progress(f"gcorner SOLUTION {json.dumps(sol)}")
+                print("SOLUTION", json.dumps(sol), flush=True)
+    log_progress(f"gcorner sweep done: {total} configs, {len(hits)} "
+                 f"solutions, {ntimeout} TIMEOUTs, {time.time()-t0:.0f}s")
+    if hits:
+        json.dump(hits, open("tools/lattice/leafstate_gcorner_hits.json",
+                             "w"), indent=1)
+    print(f"gcorner sweep: {len(hits)} solutions over {total} configs, "
+          f"{ntimeout} timeouts")
 
 
 # ------------------------------------------------------------------ free
@@ -761,6 +857,11 @@ if __name__ == "__main__":
         shard = int(sys.argv[3]) if len(sys.argv) > 3 else 0
         nshards = int(sys.argv[4]) if len(sys.argv) > 4 else 1
         mcorner_main(nw, shard, nshards)
+    elif mode == "gcorner":
+        nw = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+        shard = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        nshards = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        gcorner_main(nw, shard, nshards)
     elif mode == "free":
         grp = sys.argv[2] if len(sys.argv) > 2 else "Z22"
         budget = float(sys.argv[3]) if len(sys.argv) > 3 else 86400.0
