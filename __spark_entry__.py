@@ -525,6 +525,60 @@ ORACLES_SQL["snapshot_pruned_scan"] = f"""
 """
 
 
+def _q_snapshot_compaction(spark, sf_dir):
+    """Iceberg-style small-file maintenance: orders' cells land in five
+    separate appends (the streaming-ingest small-file backlog shape), then
+    ``compact`` bin-packs them into range-local files via a metadata-swap
+    commit.  Inline laws: file count strictly drops, row metric unchanged,
+    operation tag, pre-compaction snapshot still time-travel readable,
+    compacted files keep footer stats (prunable).  The returned scan's agg
+    is the exact-oracle payload — compaction must be scan-identical."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.sources.table import SnapshotTable
+
+    _prep(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.abspath(f"spark-warehouse/snapshots/compaction_{key}")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    df = spark.sql(
+        "SELECT a5_synth_cell(o_orderkey, 7) AS cell, o_totalprice AS price, "
+        "o_orderkey % 5 AS slice FROM orders"
+    )
+    t = SnapshotTable.create(root, df.where("slice = 0").drop("slice"),
+                             sort_col="cell")
+    for sl in range(1, 5):
+        t.append(df.where(f"slice = {sl}").drop("slice"))
+    pre = t.manifest()
+    m = t.compact(spark, small_rows=10**9)
+    if not (m["operation"] == "compact"
+            and len(m["files"]) < len(pre["files"])
+            and m["metrics"]["rows"] == pre["metrics"]["rows"]
+            and t.scan(spark, version=pre["version"]).count()
+            == m["metrics"]["rows"]
+            and all(f["min"] is not None for f in m["files"])):
+        raise AssertionError("compaction contract violated")
+    return t.scan(spark).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell"),
+    )
+
+
+ORACLES_SQL["snapshot_compaction"] = f"""
+    WITH c AS (SELECT {_synth_duck('o_orderkey', 7)} AS cell,
+               o_totalprice AS price FROM orders)
+    SELECT COUNT(*) AS n, ROUND(SUM(price), 2) AS sum_price,
+           MIN(cell) AS min_cell, MAX(cell) AS max_cell FROM c
+"""
+
+
 def _q_snapshot_stage_resume(spark, sf_dir):
     """Checkpoint-resumable pipeline stage (north-rule: per-partition lineage
     manifests + metrics): lineitem cells snapshotted, a rollup stage run via
@@ -1650,6 +1704,7 @@ _OPERATOR_QUERIES = {
     "images_knn_capture": _q_images_knn,
     "a5_compact_roundtrip": _q_compact_roundtrip,
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+    "snapshot_compaction": _q_snapshot_compaction,
     "snapshot_stage_resume": _q_snapshot_stage_resume,
     "stream_dedup_firstseen": _q_stream_dedup,
     "a5_geojson_export": _q_geojson_export,

@@ -132,14 +132,26 @@ class SnapshotTable:
 
     def _commit(self, operation: str, files: list, schema_json: str,
                 sort_col: str | None, retain_previous: bool,
-                lineage: dict | None = None) -> dict:
+                lineage: dict | None = None,
+                replace_paths: set | None = None) -> dict:
         os.makedirs(self.meta_dir, exist_ok=True)
         for _ in range(20):  # optimistic retry loop
             cur = self._current_version()
             prev = self.manifest(cur) if cur is not None else None
             all_files = list(files)
             if retain_previous and prev is not None:
-                all_files = prev["files"] + all_files
+                base = prev["files"]
+                if replace_paths:
+                    # metadata-swap compaction: drop the rewritten inputs;
+                    # concurrent appends between plan and commit are kept
+                    # (the retry loop re-reads the current manifest), but a
+                    # concurrent overwrite that removed an input aborts
+                    if not replace_paths <= {f["path"] for f in base}:
+                        raise CommitConflict(
+                            f"compaction inputs vanished under a concurrent "
+                            f"overwrite: {self.root}")
+                    base = [f for f in base if f["path"] not in replace_paths]
+                all_files = base + all_files
             rows = sum(f["rows"] for f in all_files)
             nbytes = sum(f["bytes"] for f in all_files)
             mean = rows / max(len(all_files), 1)
@@ -192,6 +204,69 @@ class SnapshotTable:
         _, files = self._write_files(df, sort_col, cell_col)
         return self._commit("overwrite", files, df.schema.json(), sort_col,
                             False, lineage)
+
+    def compact(self, spark: SparkSession, small_rows: int,
+                cell_col: str | None = None) -> dict:
+        """Bin-pack data files smaller than ``small_rows`` rows into
+        range-local larger files and commit a metadata-swap ``compact``
+        snapshot — the Iceberg "rewrite small files" maintenance path.
+
+        Scan-identical (same rows, schema, per-file sort restored) and
+        time-travel preserving: the pre-compaction snapshot stays readable.
+        Reads ONLY the small files — at 100 TB the maintenance cost scales
+        with the small-file backlog, never the table.  Bins follow the
+        sort-column order so compacted files keep disjoint(-ish) cell
+        ranges and stay prunable by footer stats."""
+        man = self.manifest()
+        if man is None:
+            raise ValueError(f"no snapshot to compact: {self.root}")
+        sort_col = man.get("sort_col")
+        small = [f for f in man["files"] if f["rows"] < small_rows]
+        if len(small) < 2:
+            return man
+        small = sorted(small, key=lambda f: (f["min"] is None, f["min"]))
+        bins, cur, acc = [], [], 0
+        for f in small:
+            cur.append(f)
+            acc += f["rows"]
+            if acc >= small_rows:
+                bins.append(cur)
+                cur, acc = [], 0
+        if cur:
+            bins.append(cur)
+        snap_dir = os.path.join(self.data_dir, f"snap-{uuid.uuid4().hex[:12]}")
+        os.makedirs(snap_dir, exist_ok=True)
+        from pyspark.sql import functions as F
+
+        new_files = []
+        for bi, bin_files in enumerate(bins):
+            df = spark.read.parquet(*[f["path"] for f in bin_files])
+            if sort_col is not None:
+                df = df.sort(sort_col)
+            out_dir = os.path.join(snap_dir, f"bin-{bi}")
+            df.coalesce(1).write.mode("errorifexists").parquet(out_dir)
+            for name in sorted(os.listdir(out_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                path = os.path.join(out_dir, name)
+                md = pq.ParquetFile(path).metadata
+                lo = hi = None
+                if sort_col is not None:
+                    idx = md.schema.names.index(sort_col)
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            lo = st.min if lo is None else min(lo, st.min)
+                            hi = st.max if hi is None else max(hi, st.max)
+                entry = {"path": path, "rows": md.num_rows,
+                         "bytes": os.path.getsize(path), "min": lo, "max": hi}
+                if cell_col is not None:
+                    entry["cells"] = (
+                        spark.read.parquet(path)
+                        .agg(F.count_distinct(cell_col)).collect()[0][0])
+                new_files.append(entry)
+        return self._commit("compact", new_files, man["schema"], sort_col,
+                            True, replace_paths={f["path"] for f in small})
 
     def snapshot_for_lineage(self, key: dict) -> dict | None:
         """Most recent committed snapshot whose ``lineage`` equals ``key``

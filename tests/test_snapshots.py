@@ -149,3 +149,55 @@ def test_run_stage_resume_and_lineage(spark, tmp_path_factory, cells_df):
         spark, os.path.join(base, "out"), "rollup", 2, {"src": src}, rollup,
         sort_col="cell", cell_col="cell")
     assert not resumed4 and calls["n"] == 3
+
+
+def test_compact_small_files(spark, tmp_path_factory, cells_df):
+    """Small-file compaction: fewer files, identical data, time travel to
+    the pre-compaction snapshot intact, footer-stats pruning still works."""
+    root = str(tmp_path_factory.mktemp("snap_compact"))
+    t = SnapshotTable.create(root, cells_df.limit(500), sort_col="cell")
+    for lo in (500, 1000, 1500, 2000):
+        t.append(cells_df.where(f"id >= {lo}").limit(500))
+    pre = t.manifest()
+    n_pre = len(pre["files"])
+    rows_pre = sorted(t.scan(spark).collect())
+    m = t.compact(spark, small_rows=10**9)  # everything is "small"
+    assert m["operation"] == "compact"
+    assert len(m["files"]) < n_pre
+    assert m["metrics"]["rows"] == pre["metrics"]["rows"]
+    assert sorted(t.scan(spark).collect()) == rows_pre
+    # time travel: pre-compaction version unchanged
+    assert t.scan(spark, version=pre["version"]).count() == 2500
+    # compacted files carry sort-column stats -> pruning still exact
+    kept, total = t.pruned_file_count(
+        (rows_pre[0][0], rows_pre[len(rows_pre) // 4][0]))
+    assert kept <= total
+    # appends after compaction coexist
+    t.append(cells_df.where("id >= 2500").limit(100))
+    assert t.scan(spark).count() == 2600
+
+
+def test_compact_noop_below_threshold(spark, tmp_path_factory, cells_df):
+    """A single small file (or none) is left alone — no empty commits."""
+    root = str(tmp_path_factory.mktemp("snap_compact2"))
+    t = SnapshotTable.create(root, cells_df.limit(300), sort_col="cell")
+    v = t.manifest()["version"]
+    m = t.compact(spark, small_rows=5)      # nothing qualifies
+    assert m["version"] == v                # returned current, no commit
+
+
+def test_compact_conflicts_with_overwrite(spark, tmp_path_factory, cells_df):
+    """A concurrent overwrite removes the compaction inputs: the compaction
+    commit must abort instead of resurrecting dropped files."""
+    from a5pg_spark.sources.table import CommitConflict
+
+    root = str(tmp_path_factory.mktemp("snap_compact3"))
+    t = SnapshotTable.create(root, cells_df.limit(200), sort_col="cell")
+    t.append(cells_df.where("id >= 200").limit(200))
+    man = t.manifest()
+    small = {f["path"] for f in man["files"]}
+    # simulate: overwrite lands between compaction plan and commit
+    t.overwrite(cells_df.limit(50))
+    with pytest.raises(CommitConflict):
+        t._commit("compact", [], man["schema"], "cell", True,
+                  replace_paths=small)
