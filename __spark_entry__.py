@@ -579,6 +579,71 @@ ORACLES_SQL["snapshot_compaction"] = f"""
 """
 
 
+def _q_stream_ingest_snapshot(spark, sf_dir):
+    """End-to-end north-rule ingest pipeline: events stream in two
+    micro-batches (maxFilesPerTrigger=1, availableNow) through an A5 cell
+    assignment into a SnapshotTable via the exactly-once foreachBatch sink
+    (per-batch CAS append + batch lineage), then small-file compaction.
+    Inline laws: one snapshot per batch with stream lineage, compaction
+    scan-identical.  The final scan agg is the exact-oracle payload."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.sources.table import SnapshotTable
+    from a5pg_spark.streaming.ingest import (
+        drain_available_now,
+        stream_to_snapshot,
+    )
+
+    _prep(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.abspath(f"spark-warehouse/streams/ingest_snap_{key}")
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    ev = spark.sql(
+        "SELECT event_id, user_id, value FROM events"
+    )
+    ev.where("event_id % 2 = 0").coalesce(1).write.parquet(f"{base}/src")
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        f"{base}/src")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+        .withColumn("cell", F.expr("a5_synth_cell(event_id, 7)"))
+    )
+    q = stream_to_snapshot(stream, f"{base}/t", f"{base}/ck",
+                           sort_col="cell", cell_col="cell")
+    drain_available_now(q, timeout=120)
+    t = SnapshotTable(f"{base}/t")
+    snaps = t.snapshots()
+    if not (len(snaps) == 2
+            and [m["lineage"]["stream_batch"] for m in snaps] == [0, 1]):
+        raise AssertionError("per-batch snapshot lineage violated")
+    pre_rows = t.manifest()["metrics"]["rows"]
+    m = t.compact(spark, small_rows=10**9, cell_col="cell")
+    if m["metrics"]["rows"] != pre_rows or m["operation"] != "compact":
+        raise AssertionError("post-ingest compaction not scan-identical")
+    return t.scan(spark).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell"),
+    )
+
+
+ORACLES_SQL["stream_ingest_snapshot"] = f"""
+    WITH c AS (SELECT {_synth_duck('event_id', 7)} AS cell, user_id, value
+               FROM events)
+    SELECT COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value,
+           MIN(cell) AS min_cell, MAX(cell) AS max_cell FROM c
+"""
+
+
 def _q_snapshot_stage_resume(spark, sf_dir):
     """Checkpoint-resumable pipeline stage (north-rule: per-partition lineage
     manifests + metrics): lineitem cells snapshotted, a rollup stage run via
@@ -1706,6 +1771,7 @@ _OPERATOR_QUERIES = {
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
     "snapshot_compaction": _q_snapshot_compaction,
     "snapshot_stage_resume": _q_snapshot_stage_resume,
+    "stream_ingest_snapshot": _q_stream_ingest_snapshot,
     "stream_dedup_firstseen": _q_stream_dedup,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,

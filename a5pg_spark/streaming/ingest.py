@@ -141,3 +141,42 @@ def streaming_dedup(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_to_snapshot(stream_df: DataFrame, table_root: str,
+                       checkpoint: str, sort_col: str | None = None,
+                       cell_col: str | None = None):
+    """Land a stream into a :class:`SnapshotTable` — one CAS-committed
+    append per micro-batch, exactly-once.
+
+    This is the canonical "streaming ingest → Iceberg" sink: Structured
+    Streaming's ``foreachBatch`` replays the in-flight batch after a
+    restart, so the sink must be idempotent.  Each commit records lineage
+    ``{"sink": ..., "stream_batch": batch_id}``; a replayed batch finds its
+    lineage already committed (metadata-only lookup) and skips the write.
+    Combined with :meth:`SnapshotTable.compact`, this closes the classic
+    small-files loop: ingest appends per batch, maintenance bin-packs them,
+    readers time-travel across both.
+
+    Returns the started ``StreamingQuery`` (``availableNow`` trigger —
+    drain with :func:`drain_available_now`).
+    """
+    from ..sources.table import SnapshotTable
+
+    def sink(batch_df, batch_id):
+        t = SnapshotTable(table_root)
+        key = {"sink": "stream_to_snapshot", "stream_batch": int(batch_id)}
+        if t.manifest() is not None and t.snapshot_for_lineage(key):
+            return                      # replayed batch — already committed
+        if t.manifest() is None:
+            t.overwrite(batch_df, sort_col=sort_col, cell_col=cell_col,
+                        lineage=key)
+        else:
+            t.append(batch_df, cell_col=cell_col, lineage=key)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

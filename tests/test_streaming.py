@@ -198,3 +198,43 @@ def test_streaming_dedup_resumes_from_checkpoint(spark, src_dir, tmp_path_factor
     # the resumed run processed only the new file, and the restored state
     # still knows img-2 — the sink gains exactly img-3
     assert sorted(r.image_id for r in out2) == ["img-1", "img-2", "img-3"]
+
+
+def test_stream_to_snapshot_exactly_once(spark, src_dir, tmp_path_factory):
+    """foreachBatch → SnapshotTable: one append per micro-batch with batch
+    lineage; a replayed batch is a metadata-only no-op; compaction then
+    bin-packs the per-batch small files scan-identically."""
+    from a5pg_spark.sources.table import SnapshotTable
+    from a5pg_spark.streaming.ingest import drain_available_now, stream_to_snapshot
+
+    base = str(tmp_path_factory.mktemp("snap_stream"))
+    _write_batch(spark, src_dir, _rows(0, range(10)), 1)
+    _write_batch(spark, src_dir, _rows(1, range(10, 25)), 1)
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("cell", F.expr("a5_synth_cell(key, 7)"))
+    )
+    q = stream_to_snapshot(stream, f"{base}/t", f"{base}/ck",
+                           sort_col="cell", cell_col="cell")
+    drain_available_now(q)
+    t = SnapshotTable(f"{base}/t")
+    snaps = t.snapshots()
+    assert [m["operation"] for m in snaps] == ["overwrite", "append"]
+    assert [m["lineage"]["stream_batch"] for m in snaps] == [0, 1]
+    assert t.scan(spark).count() == 25
+    assert all("cells" in f for f in t.manifest()["files"])
+    # replay: re-running an already-committed batch id must not duplicate
+    batch0 = spark.read.parquet(src_dir).limit(5)
+    before = t.manifest()["snapshot_id"]
+    q2 = stream_to_snapshot(
+        spark.readStream.schema(batch0.schema).parquet(src_dir),
+        f"{base}/t", f"{base}/ck2_replayseed", sort_col="cell")
+    # ck2 is a FRESH checkpoint, so batch_id restarts at 0 -> lineage hit
+    drain_available_now(q2)
+    assert t.manifest()["snapshot_id"] == before
+    assert t.scan(spark).count() == 25
+    # maintenance: compact the per-batch small files
+    m = t.compact(spark, small_rows=10**9, cell_col="cell")
+    assert m["operation"] == "compact"
+    assert t.scan(spark).count() == 25
