@@ -59,6 +59,45 @@ class TestCodecs:
         assert int(agg.n) == 24 * 33
         assert int(agg.s) == int(img.sum())
 
+    def test_dct_real_lossy_codec(self):
+        """The ADCT codec is REAL transform coding: PSNR ≥ 40 dB (the
+        north-rule lossy invariant) with genuine frequency-domain loss,
+        analytic error bound from orthonormality, and actual compression
+        on smooth content."""
+        rng = np.random.default_rng(5)
+        for h, w in ((48, 64), (37, 53)):       # non-multiple-of-8 too
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            data = I.dct_encode(img)
+            out = I.dct_decode(data)
+            assert out.shape == img.shape
+            p = I.psnr(img, out)
+            assert 40.0 <= p < float("inf")     # lossy but within invariant
+            # orthonormal DCT: MSE ≈ q²/12 → PSNR within a few dB of 45
+            assert p <= 55.0
+        # smooth content compresses hard (transform coding, not a pixel map)
+        yy, xx = np.mgrid[0:64, 0:64]
+        smooth = ((yy + xx) // 2).astype(np.uint8)
+        assert len(I.dct_encode(smooth)) < 64 * 64 // 8
+
+    def test_dct_tiling_end_to_end(self, spark):
+        """A DCT-encoded image flows through decode→georef→encode tiling;
+        pixel COUNT is conserved exactly and values are allclose within the
+        codec's analytic error bound."""
+        rng = np.random.default_rng(6)
+        img = rng.integers(0, 256, size=(24, 33), dtype=np.uint8)
+        ph = I.phash_for_point(-3.7037, 40.41677)
+        row = [("dct0", I.dct_encode(img), 33, 24, "dct", "cap dct0", ph)]
+        df = spark.createDataFrame(
+            row, "image_id string, bytes binary, w int, h int, fmt string, "
+            "caption string, phash long")
+        tiles = tiling.pixels_to_cells(df, res=14)
+        agg = tiles.agg(F.sum("n_pixels").alias("n"),
+                        F.sum("sum_value").alias("s")).collect()[0]
+        assert int(agg.n) == 24 * 33
+        rec = I.dct_decode(I.dct_encode(img))
+        assert int(agg.s) == int(rec.sum())
+        assert abs(int(agg.s) - int(img.sum())) <= 2 * 24 * 33  # q/2 ≈ 2/px
+
     def test_unknown_format_raises(self):
         with pytest.raises(NotImplementedError):
             I.decode_image(b"xxxx", "webp")
