@@ -201,3 +201,23 @@ def test_compact_conflicts_with_overwrite(spark, tmp_path_factory, cells_df):
     with pytest.raises(CommitConflict):
         t._commit("compact", [], man["schema"], "cell", True,
                   replace_paths=small)
+
+
+def test_compact_retains_concurrent_append(spark, tmp_path_factory, cells_df):
+    """An append that lands between the compaction plan and its commit is
+    retained by the CAS retry loop — compaction replaces only its inputs."""
+    root = str(tmp_path_factory.mktemp("snap_compact4"))
+    t = SnapshotTable.create(root, cells_df.limit(200), sort_col="cell")
+    t.append(cells_df.where("id >= 200").limit(200))
+    man = t.manifest()
+    planned = {f["path"] for f in man["files"]}
+    # the compaction's rewritten output, prepared against `man`
+    _, new_files = t._write_files(t.scan(spark), "cell")
+    # concurrent append lands first
+    t.append(cells_df.where("id >= 1000").limit(50))
+    m = t._commit("compact", new_files, man["schema"], "cell", True,
+                  replace_paths=planned)
+    assert m["operation"] == "compact"
+    paths = {f["path"] for f in m["files"]}
+    assert not (planned & paths)            # inputs replaced
+    assert t.scan(spark).count() == 450     # 400 rewritten + 50 concurrent
