@@ -525,6 +525,64 @@ ORACLES_SQL["snapshot_pruned_scan"] = f"""
 """
 
 
+def _q_audio_features(spark, sf_dir):
+    """Audio modality end-to-end: deterministic integer-sawtooth clips are
+    WAV-encoded (real RIFF PCM-16 container), decoded back in a mapInPandas
+    stage, and folded to exact integer signal features (sum of squares,
+    strict zero crossings, peak); rms and duration derive in Spark SQL as
+    single IEEE ops so DuckDB reproduces them bit-for-bit while regenerating
+    the samples from the closed form — the byte container round-trip is the
+    Spark-only part, pinned against the stdlib ``wave`` module in pytest."""
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.sources.audio import audio_features, build_audio_df
+
+    _prep(spark, sf_dir)
+    clips = build_audio_df(spark, 240, slices=16)
+    return (
+        audio_features(clips)
+        .withColumn("rms", F.sqrt(F.col("sum_sq") / F.col("n_samples")))
+        .withColumn("duration_sec",
+                    F.col("n_samples") / F.col("sample_rate"))
+        .orderBy("audio_id")
+    )
+
+
+ORACLES_SQL["audio_features"] = """
+WITH clip AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS sr,
+         1600 + (i % 5) * 800 AS n,
+         3 + i % 7 AS k,
+         (i * 17) % 2048 AS phase
+  FROM (SELECT UNNEST(range(0, 240)) AS i)
+),
+ex AS (
+  SELECT i, sr, n, k, phase, UNNEST(range(0, n)) AS j FROM clip
+),
+ag AS (
+  SELECT i, any_value(sr) AS sr, any_value(n) AS n,
+         SUM(((j*k+phase) % 2048 - 1024) * ((j*k+phase) % 2048 - 1024))
+           AS sum_sq,
+         SUM(CASE WHEN j < n - 1 AND
+                  ((j*k+phase) % 2048 - 1024)
+                  * (((j+1)*k+phase) % 2048 - 1024) < 0
+                  THEN 1 ELSE 0 END) AS n_zero_cross,
+         MAX(ABS((j*k+phase) % 2048 - 1024)) AS peak
+  FROM ex GROUP BY i
+)
+SELECT printf('aud%012d', i) AS audio_id,
+       CAST(sr AS INT) AS sample_rate,
+       CAST(n AS INT) AS n_samples,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       CAST(n_zero_cross AS BIGINT) AS n_zero_cross,
+       CAST(peak AS INT) AS peak,
+       sqrt(CAST(sum_sq AS DOUBLE) / n) AS rms,
+       CAST(n AS DOUBLE) / sr AS duration_sec
+FROM ag ORDER BY audio_id
+"""
+
+
 def _q_snapshot_compaction(spark, sf_dir):
     """Iceberg-style small-file maintenance: orders' cells land in five
     separate appends (the streaming-ingest small-file backlog shape), then
@@ -1768,6 +1826,7 @@ _OPERATOR_QUERIES = {
     "images_phash_neardup": _q_images_phash_neardup,
     "images_knn_capture": _q_images_knn,
     "a5_compact_roundtrip": _q_compact_roundtrip,
+    "audio_features": _q_audio_features,
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
     "snapshot_compaction": _q_snapshot_compaction,
     "snapshot_stage_resume": _q_snapshot_stage_resume,
