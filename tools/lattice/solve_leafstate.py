@@ -45,8 +45,13 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
+# solve_free/solve_free2 parse THEIR OWN sweep args at import time; shield
+# them from this script's argv (e.g. 'free Z22 ...' crashes float('Z22'))
+_argv = sys.argv
+sys.argv = [_argv[0]]
 from solve_free import digits_of, group, load_parts  # noqa: E402
 from solve_free2 import automorphisms  # noqa: E402
+sys.argv = _argv
 
 TMAX = 3          # |T(k) - T(k0)|_inf bound (reflection shifts are local)
 GBOX = [(a, b) for a in range(-2, 3) for b in range(-2, 3)]
