@@ -583,6 +583,63 @@ FROM ag ORDER BY audio_id
 """
 
 
+def _q_video_frame_stats(spark, sf_dir):
+    """Video modality end-to-end with a REAL codec: deterministic PNG
+    frame stacks → JVM-side frame sampling (posexplode + modulo, every 4th
+    frame) → Arrow decode + exact integer pixel folds → per-video rollup.
+    DuckDB regenerates every kept frame's closed-form pixel field, so the
+    whole pipeline (including the PNG byte round-trip, which only Spark
+    executes) is value-exact."""
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.operators.multimodal import sample_frames
+    from a5pg_spark.sources.videos import build_videos_df, frame_pixel_stats
+
+    _prep(spark, sf_dir)
+    vids = build_videos_df(spark, 48, slices=8)
+    kept = sample_frames(vids, every_n=4)
+    stats = frame_pixel_stats(kept)
+    return (
+        stats.groupBy("video_id")
+        .agg(
+            F.count("*").cast("long").alias("frames_kept"),
+            F.sum("sum_px").alias("total_px"),
+            F.max("max_px").alias("max_px"),
+            F.max("frame_idx").cast("int").alias("last_frame"),
+        )
+        .orderBy("video_id")
+    )
+
+
+ORACLES_SQL["video_frame_stats"] = """
+WITH vid AS (
+  SELECT i, 24 + 8 * (i % 3) AS w, 16 + 8 * (i % 2) AS h,
+         8 + i % 5 AS n
+  FROM (SELECT UNNEST(range(0, 48)) AS i)
+),
+kept AS (
+  SELECT i, w, h, UNNEST(range(0, n)) AS f FROM vid
+),
+px AS (
+  SELECT i, f, w, h, UNNEST(range(0, w * h)) AS p FROM kept WHERE f % 4 = 0
+),
+frame AS (
+  SELECT i, f,
+         SUM((i * 2654435761 + f * 9176 + (p // w) * 977 + (p % w) * 131)
+             % 256) AS sum_px,
+         MAX((i * 2654435761 + f * 9176 + (p // w) * 977 + (p % w) * 131)
+             % 256) AS max_px
+  FROM px GROUP BY i, f
+)
+SELECT printf('vid%012d', i) AS video_id,
+       CAST(COUNT(*) AS BIGINT) AS frames_kept,
+       CAST(SUM(sum_px) AS BIGINT) AS total_px,
+       CAST(MAX(max_px) AS INT) AS max_px,
+       CAST(MAX(f) AS INT) AS last_frame
+FROM frame GROUP BY i ORDER BY video_id
+"""
+
+
 def _q_snapshot_compaction(spark, sf_dir):
     """Iceberg-style small-file maintenance: orders' cells land in five
     separate appends (the streaming-ingest small-file backlog shape), then
@@ -1827,6 +1884,7 @@ _OPERATOR_QUERIES = {
     "images_knn_capture": _q_images_knn,
     "a5_compact_roundtrip": _q_compact_roundtrip,
     "audio_features": _q_audio_features,
+    "video_frame_stats": _q_video_frame_stats,
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
     "snapshot_compaction": _q_snapshot_compaction,
     "snapshot_stage_resume": _q_snapshot_stage_resume,

@@ -78,3 +78,24 @@ class TestAudioFeatures:
         sr, n, k, phase = A.clip_params(7)
         s = (np.arange(n, dtype=np.int64) * k + phase) % 2048 - 1024
         assert row.rms == float(np.sqrt(np.dot(s, s) / n))
+
+
+class TestVideoFrames:
+    def test_video_pipeline_matches_numpy(self, spark):
+        """PNG frame stacks → sample every 4th → decode → pixel folds."""
+        from a5pg_spark.operators.multimodal import sample_frames
+        from a5pg_spark.sources import videos as V
+
+        vids = V.build_videos_df(spark, 12, slices=4)
+        stats = V.frame_pixel_stats(sample_frames(vids, every_n=4)) \
+            .orderBy("video_id", "frame_idx").toPandas()
+        for r in stats.itertuples(index=False):
+            i = int(r.video_id[3:])
+            w, h, n = V.video_params(i)
+            assert r.frame_idx % 4 == 0 and r.frame_idx < n
+            img = V.frame_pixels(i, r.frame_idx, w, h).astype(np.int64)
+            assert r.sum_px == int(img.sum())
+            assert r.max_px == int(img.max())
+        kept = sum(len(range(0, V.video_params(i)[2], 4))
+                   for i in range(12))
+        assert len(stats) == kept
