@@ -517,11 +517,12 @@ def gcorner_worker(args):
     return hits, n, ntimeout
 
 
-def gcorner_main(nworkers, shard=0, nshards=1):
+def gcorner_main(nworkers, shard=0, nshards=1, skip=0):
     tasks = [(v, perm, hv)
              for v in ("cRF", "cFR", "oRF", "oFR")
              for perm in itertools.permutations(CORNERS)
              for hv in itertools.product(range(8), repeat=4)][shard::nshards]
+    tasks = tasks[skip:]
     log_progress(f"gcorner(D4) sweep start: {len(tasks)} tasks "
                  f"(shard {shard}/{nshards})")
     t0 = time.time()
@@ -866,7 +867,8 @@ if __name__ == "__main__":
         nw = int(sys.argv[2]) if len(sys.argv) > 2 else 12
         shard = int(sys.argv[3]) if len(sys.argv) > 3 else 0
         nshards = int(sys.argv[4]) if len(sys.argv) > 4 else 1
-        gcorner_main(nw, shard, nshards)
+        skip = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+        gcorner_main(nw, shard, nshards, skip)
     elif mode == "free":
         grp = sys.argv[2] if len(sys.argv) > 2 else "Z22"
         budget = float(sys.argv[3]) if len(sys.argv) > 3 else 86400.0
