@@ -212,6 +212,53 @@ ORACLES_SQL["a5_contains_semijoin"] = f"""
     GROUP BY 1 ORDER BY ancestor_cell
 """
 
+# 4b. tile pyramid: per-resolution cell counts res 9 → 4 in ONE pass.
+# GROUPING SETS over the precomputed parent ladder = Catalyst Expand (+6x
+# in-memory row amplification absorbed by the map-side partial hash agg), so
+# the single shuffle carries only ~Σ|cells_r| aggregated rows — the OLAP-cube
+# shape for building a tile pyramid over 100 TB in one scan, vs. 6 rescans
+# (union of per-level aggs) or an agg cascade that needs persist() between
+# levels.  Per-level digest keeps the plan free of a terminal global sort
+# (res ladder itself is a 6-row sort).  Mirrors the rollup a tile server
+# would precompute from a5pg cells (reference: a5_cell_to_parent,
+# src/lib.rs hierarchy fns).
+_PYR_PARENTS = ", ".join(
+    f"a5_cell_to_parent(c9, {r}) AS p{r}" for r in range(4, 9)
+)
+_PYR_SETS = ", ".join(f"(p{r})" for r in range(9, 3, -1))
+QUERIES_SQL["a5_tile_pyramid"] = f"""
+    WITH pts AS (SELECT a5_synth_cell(l_orderkey * 8 + l_linenumber, 9) AS c9
+                 FROM lineitem),
+    lv AS (SELECT c9 AS p9, {_PYR_PARENTS} FROM pts),
+    g AS (
+      SELECT coalesce(p9, p8, p7, p6, p5, p4) AS cell, COUNT(*) AS n
+      FROM lv GROUP BY GROUPING SETS ({_PYR_SETS})
+    )
+    SELECT a5_get_resolution(cell) AS res, COUNT(*) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           SUM(((cell % 999999937) + 999999937) % 999999937 * 16 + n) AS digest
+    FROM g GROUP BY 1 ORDER BY res
+"""
+_PYR_ORACLE_LEVELS = "\n      UNION ALL ".join(
+    ["SELECT c9 AS cell, COUNT(*) AS n FROM pts GROUP BY 1"]
+    + [
+        f"SELECT {_parent_duck('c9', r)} AS cell, COUNT(*) AS n FROM pts GROUP BY 1"
+        for r in range(8, 3, -1)
+    ]
+)
+ORACLES_SQL["a5_tile_pyramid"] = f"""
+    WITH pts AS (SELECT {_synth_duck('l_orderkey * 8 + l_linenumber', 9)} AS c9
+                 FROM lineitem),
+    g AS (
+      {_PYR_ORACLE_LEVELS}
+    )
+    SELECT {_res_duck('cell')} AS res, COUNT(*) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS total_n,
+           CAST(SUM(((cell % 999999937) + 999999937) % 999999937 * 16 + n)
+                AS BIGINT) AS digest
+    FROM g GROUP BY 1 ORDER BY res
+"""
+
 # 5. uncompact cover: region cells res 2 → res 4 descendants (digest form —
 # same no-terminal-sort rationale as a5_children_expand above)
 QUERIES_SQL["a5_uncompact_cover"] = """

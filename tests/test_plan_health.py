@@ -138,3 +138,26 @@ def test_encode_native_barrier_survives_filter_planning(spark):
     t0 = _t.time()
     _physical(q)
     assert _t.time() - t0 < 20.0
+
+
+def test_tile_pyramid_single_scan_single_expand(spark, sf_dir):
+    """The res 9→4 tile-pyramid rollup must stay the one-pass OLAP-cube
+    shape: ONE parquet scan (pruned to the two key columns), ONE Expand,
+    and exactly one data shuffle below the per-level summary — not six
+    rescans or an unpersisted agg cascade.  Levels must agree on the
+    invariants: every level's total_n is the full row count and n_cells
+    decreases (weakly) as resolution coarsens."""
+    import __spark_entry__ as E
+
+    df = E.queries()["a5_tile_pyramid"](spark, sf_dir)
+    plan = _physical(df)
+    assert plan.count("Expand") == 1
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1
+    # one hash shuffle of aggregated cells; the rest act on the 6-row summary
+    assert len(re.findall(r"Exchange hashpartitioning\(p9#", plan)) == 1
+    rows = {r.res: r for r in df.collect()}
+    assert sorted(rows) == [4, 5, 6, 7, 8, 9]
+    n_input = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert all(r.total_n == n_input for r in rows.values())
+    for r in range(5, 10):
+        assert rows[r - 1].n_cells <= rows[r].n_cells
