@@ -224,6 +224,12 @@ _COVER_ALGO_VERSION = 2
 _COVER_CACHE: dict = {}
 _COVER_CACHE_MAX = 32  # keys embed full geom_json strings — bound the memory
 
+# finished broadcast-ready cover DataFrames, keyed per (cover key, session).
+# Kept OUT of _COVER_CACHE: cover_one() below is cloudpickled to executors
+# and closes over _COVER_CACHE, so session-bound JVM handles stored there
+# would break applyInPandas serialization (SPARK-5063).
+_COVER_DF_CACHE: dict = {}
+
 
 def _cover_cache_put(key, value):
     if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
@@ -276,11 +282,14 @@ def polygon_cover(
     )
 
 
-def _edge_rows(polygons: DataFrame) -> list:
+def _edge_rows(polygons) -> list:
     """Driver-side: (part, edges, is_point, px, py) — all rings' edges
-    concatenated (even-odd works across outer ring + holes)."""
+    concatenated (even-odd works across outer ring + holes).  Accepts the
+    polygon DataFrame or its already-collected rows (so callers that need
+    the rows for other purposes pay the collect() job once)."""
     rows = []
-    for r in polygons.collect():
+    collected = polygons if isinstance(polygons, list) else polygons.collect()
+    for r in collected:
         geom = json.loads(r.geom_json)
         if geom["type"] == "Point":
             x, y = geom["coordinates"]
@@ -345,45 +354,58 @@ def spatial_join(
             StructField("py", DoubleType()),
         ]
     )
-    edge_rows = _edge_rows(polygons)
-    edges_df = spark.createDataFrame(edge_rows, edges_schema)
+    poly_rows = polygons.collect()  # the ONE collect of the small layer
+    edge_rows = _edge_rows(poly_rows)
+    full_schema = StructType(COVER_SCHEMA.fields + edges_schema.fields[1:])
     if broadcast_cover:
         # materialize + driver-cache the cover keyed by (polygon layer, res):
         # the cover is the small dimension side; recomputing it per call was
         # round 1's dominant fixed cost (~4 s).  Broadcasting a raw
         # applyInPandas plan would also re-run its Python stage inside the
-        # broadcast exchange.
+        # broadcast exchange.  The cover⋈edges attach happens DRIVER-SIDE
+        # (both sides are driver-resident and polygon-layer-sized) and the
+        # finished broadcast DataFrame is cached per session — the previous
+        # shape ran a Spark join job + toPandas + re-upload on every call
+        # (measured 0.8 s warm, pure fixed cost in the bench headline).
         key = (_COVER_ALGO_VERSION,
                tuple(sorted((r[0], len(r[1]), r[3], r[4]) for r in edge_rows)),
-               json.dumps(sorted(x.geom_json for x in polygons.select("geom_json").collect())),
+               json.dumps(sorted(r.geom_json for r in poly_rows)),
                res)
-        cover_pd = _COVER_CACHE.get(("materialized",) + key)
-        if cover_pd is None:
-            # disk-backed across processes: the cover depends only on the
-            # polygon layer + res, so persist it keyed by a content hash —
-            # bench/driver runs stop re-paying the exact-cover construction
-            import hashlib as _hl
-            import os as _os
+        cached = _COVER_DF_CACHE.get(key)
+        if cached is not None and cached[0] is spark:
+            cover_full = cached[1]
+        else:
+            cover_pd = _COVER_CACHE.get(("materialized",) + key)
+            if cover_pd is None:
+                # disk-backed across processes: the cover depends only on the
+                # polygon layer + res, so persist it keyed by a content hash —
+                # bench/driver runs stop re-paying the exact-cover construction
+                import hashlib as _hl
+                import os as _os
 
-            digest = _hl.sha256(repr(key).encode()).hexdigest()[:16]
-            cache_path = _os.path.join("spark-warehouse", "covers", f"{digest}.parquet")
-            if _os.path.exists(cache_path):
-                cover_pd = pd.read_parquet(cache_path)
-            else:
-                cover_pd = polygon_cover(polygons, res).toPandas()
-                _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
-                tmp = cache_path + ".tmp"
-                cover_pd.to_parquet(tmp)
-                _os.replace(tmp, cache_path)
-            _cover_cache_put(("materialized",) + key, cover_pd)
-        cover = spark.createDataFrame(cover_pd, COVER_SCHEMA)
-        cover_full = F.broadcast(
-            spark.createDataFrame(
-                cover.join(edges_df, "part").toPandas(),
-                StructType(COVER_SCHEMA.fields + edges_schema.fields[1:]),
-            )
-        )
+                digest = _hl.sha256(repr(key).encode()).hexdigest()[:16]
+                cache_path = _os.path.join("spark-warehouse", "covers", f"{digest}.parquet")
+                if _os.path.exists(cache_path):
+                    cover_pd = pd.read_parquet(cache_path)
+                else:
+                    cover_pd = polygon_cover(polygons, res).toPandas()
+                    _os.makedirs(_os.path.dirname(cache_path), exist_ok=True)
+                    tmp = cache_path + ".tmp"
+                    cover_pd.to_parquet(tmp)
+                    _os.replace(tmp, cache_path)
+                _cover_cache_put(("materialized",) + key, cover_pd)
+            edge_map = {er[0]: er[1:] for er in edge_rows}
+            data = [
+                (str(p), int(c), bool(i), *edge_map[p])
+                for p, c, i in cover_pd[["part", "cell", "interior"]]
+                .itertuples(index=False)
+            ]
+            cover_full = F.broadcast(spark.createDataFrame(data, full_schema))
+            if len(_COVER_DF_CACHE) >= _COVER_CACHE_MAX:
+                _COVER_DF_CACHE.pop(next(iter(_COVER_DF_CACHE)))
+            _COVER_DF_CACHE[key] = (spark, cover_full)
     else:
+        edges_df = spark.createDataFrame(edge_rows, edges_schema)
         cover_full = polygon_cover(polygons, res).join(edges_df, "part")
 
     # JVM-native encode on the big side: no Python workers in the probe path
