@@ -98,22 +98,34 @@ def main() -> None:
     from a5pg_spark.functions_native import encode_native
 
     # 2M JVM-generated points (orders at sf0.1 is only 150k rows — too small
-    # to see past plan-build + stage-launch fixed costs); includes plan build,
-    # so this is the honest single-job number (steady-state execution-only
-    # throughput is tools/scale_probe.py's job)
+    # to see past stage-launch fixed costs).  Plan BUILD is clocked
+    # separately from execution: building the ~25-stage unrolled encode
+    # costs ~1-3 s of driver-side py4j round trips ONCE per job, while a
+    # production job plans once and executes over 100 TB — folding the two
+    # into one rate understated the engine ~4x (r4: 3.9 s total of which
+    # 3.0 s build).  encode_sec/throughput keep single-shot (build+run)
+    # semantics for cross-round comparability; the *_exec fields are the
+    # plan-amortized rate (min of 2 runs of the same built plan).
     n_points = 2_000_000
     pts = spark.range(n_points).selectExpr(
         "((id * 2654435761) % 360000000) / 1e6 - 180.0 AS lon",
         "((id * 987654321986) % 180000000) / 1e6 - 90.0 AS lat",
     )
     t0 = time.time()
-    (
+    enc_df = (
         encode_native(pts, "lon", "lat", 9, "cell")
         .groupBy(F.call_function("a5_cell_to_parent", F.col("cell"), F.lit(4)).alias("p"))
-        .count().collect()
+        .count()
     )
+    enc_df.collect()
     encode_sec = time.time() - t0
     throughput = n_points / encode_sec if encode_sec > 0 else 0.0
+    exec_secs = []
+    for _ in range(2):
+        t0 = time.time()
+        enc_df.collect()
+        exec_secs.append(time.time() - t0)
+    encode_exec_sec = min(exec_secs)
     # north-rule headline: spatial-join throughput in images(points)/sec —
     # the elephant join's point side is one row per orders row
     n_orders = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0].n
@@ -146,6 +158,8 @@ def main() -> None:
         "encode_points": int(n_points),
         "encode_sec": round(encode_sec, 3),
         "throughput_pts_per_sec": round(throughput, 1),
+        "encode_exec_sec": round(encode_exec_sec, 3),
+        "throughput_exec_pts_per_sec": round(n_points / encode_exec_sec, 1),
         "encode_udf_sec": round(encode_udf_sec, 3),
         "throughput_udf_pts_per_sec": round(n_points / encode_udf_sec, 1),
         "spatial_join_images_per_sec": sj_ips,
