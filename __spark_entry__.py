@@ -403,6 +403,57 @@ ORACLES_SQL["a5_roundtrip_quality"] = _roundtrip_oracle_sql()
 
 # -- relational repertoire (SURVEY.md §2.2) — exact oracles -----------------
 
+# 4c. salted skew join (SURVEY §2.4.5 as a first-class oracle-checked query).
+# One third of the fact rows land on ONE hot cell; the per-cell dim side is
+# replicated across 8 salt buckets and the join runs on (cell, salt) under a
+# SHUFFLE_HASH hint (a broadcast would hide the skew; at 100 TB the dim side
+# of a cell-stats join is itself cell-count-sized and shuffles).  The hot
+# cell's rows spread over 8 tasks instead of one straggler.  Salt is
+# Spark-side only (xxhash64) — it provably cannot change the result (the dim
+# carries every salt), so the DuckDB oracle is the PLAIN join+agg.  All
+# money math is integer (floor(price*100+0.5)) — bit-exact across engines.
+QUERIES_SQL["skew_salted_join"] = """
+    WITH fact AS (
+      SELECT a5_synth_cell(CASE WHEN pmod(l_orderkey, 3) = 0 THEN 77
+                                ELSE pmod(l_partkey, 2000) END, 6) AS cell,
+             CAST(l_quantity AS BIGINT) AS qty,
+             pmod(xxhash64(l_orderkey * 8 + l_linenumber), 8) AS salt
+      FROM lineitem),
+    dim AS (
+      SELECT a5_synth_cell(pmod(p_partkey, 2000), 6) AS cell,
+             MAX(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM part GROUP BY 1),
+    dim_r AS (SELECT cell, w, explode(sequence(0L, 7L)) AS salt FROM dim),
+    j AS (
+      SELECT /*+ SHUFFLE_HASH(d) */ f.cell AS cell, COUNT(*) AS n,
+             SUM(f.qty * d.w) AS rev
+      FROM fact f JOIN dim_r d ON f.cell = d.cell AND f.salt = d.salt
+      GROUP BY f.cell)
+    SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(SUM(rev) AS BIGINT) AS total_rev,
+           SUM(((cell % 999999937) + 999999937) % 999999937 * 31 + n) AS digest
+    FROM j
+"""
+ORACLES_SQL["skew_salted_join"] = f"""
+    WITH fact AS (
+      SELECT {_synth_duck("CASE WHEN (l_orderkey % 3) = 0 THEN 77 ELSE (l_partkey % 2000) END", 6)} AS cell,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem),
+    dim AS (
+      SELECT {_synth_duck("p_partkey % 2000", 6)} AS cell,
+             MAX(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS w
+      FROM part GROUP BY 1),
+    j AS (
+      SELECT f.cell AS cell, COUNT(*) AS n, SUM(f.qty * d.w) AS rev
+      FROM fact f JOIN dim d ON f.cell = d.cell
+      GROUP BY f.cell)
+    SELECT COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(SUM(rev) AS BIGINT) AS total_rev,
+           CAST(SUM(((cell % 999999937) + 999999937) % 999999937 * 31 + n)
+                AS BIGINT) AS digest
+    FROM j
+"""
+
 QUERIES_SQL["rel_agg_pricing"] = """
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 4) AS sum_qty,

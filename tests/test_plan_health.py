@@ -161,3 +161,30 @@ def test_tile_pyramid_single_scan_single_expand(spark, sf_dir):
     assert all(r.total_n == n_input for r in rows.values())
     for r in range(5, 10):
         assert rows[r - 1].n_cells <= rows[r].n_cells
+
+
+def test_skew_salted_join_spreads_hot_cell(spark, sf_dir):
+    """The salted skew join must actually shuffle on (cell, salt) — both
+    sides' exchanges carry the salt key and the join is a shuffled hash
+    join, not a broadcast (which would hide the skew the query exists to
+    demonstrate).  And the salt must work: the hot cell's fact rows spread
+    across all 8 salt buckets."""
+    import __spark_entry__ as E
+
+    df = E.queries()["skew_salted_join"](spark, sf_dir)
+    plan = _physical(df)
+    assert "ShuffledHashJoin [cell" in plan and "salt" in plan.split(
+        "ShuffledHashJoin", 1)[1][:80]
+    assert "BroadcastHashJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(cell#\d+L, salt#", plan)) == 2
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].total_rows > 0
+    # salt spread: the hot fact key occupies all 8 buckets
+    hot = spark.sql("""
+        SELECT pmod(xxhash64(l_orderkey * 8 + l_linenumber), 8) AS salt,
+               COUNT(*) AS n
+        FROM lineitem WHERE pmod(l_orderkey, 3) = 0 GROUP BY 1
+    """).collect()
+    assert len(hot) == 8
+    counts = [r.n for r in hot]
+    assert max(counts) < 2.5 * min(counts)
