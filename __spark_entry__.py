@@ -1139,6 +1139,48 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
 ORACLES_SQL["dedup_minhash_pairs"] = _minhash_oracle_sql()
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Duplicate-CLUSTER resolution: MinHash-LSH pairs (portable mode, the
+    oracle-replicated pipeline above) → connected components → per-node
+    canonical label = min reachable doc_id.  Summarized order-insensitively
+    (node count, component count, Σ node·K + comp digest) so the plan has no
+    terminal sort.  The DuckDB oracle recomputes the SAME pairs, then takes
+    the transitive closure with a recursive CTE and min-aggregates."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, hash_mode="portable")
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.agg(
+        F.count("*").alias("n_nodes"),
+        F.countDistinct("comp").alias("n_components"),
+        F.sum(F.col("node") * F.lit(1000003) + F.col("comp")).alias("digest"),
+    )
+
+
+ORACLES_SQL["dedup_components"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT COUNT(*) AS n_nodes, COUNT(DISTINCT comp) AS n_components,
+           CAST(SUM(node * 1000003 + comp) AS BIGINT) AS digest
+    FROM comp
+"""
+
+
 def _q_dedup_simhash(spark, sf_dir):
     """SimHash near-duplicate pairs over documents, portable-hash mode: the
     32-bit polynomial token hash + majority bit-fold + 4×8-bit band blocking
@@ -1993,6 +2035,7 @@ _OPERATOR_QUERIES = {
     "spatial_join_elephant": _q_spatial_join_elephant,
     "knn_probe_cities": _q_knn_points,
     "dedup_minhash_pairs": _q_dedup_minhash,
+    "dedup_components": _q_dedup_components,
     "dedup_simhash_pairs": _q_dedup_simhash,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "text_annotate_agg": _q_text_annotate,

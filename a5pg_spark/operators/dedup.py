@@ -412,3 +412,53 @@ def phash_near_dup_pairs(df: DataFrame, id_col: str = "image_id",
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Duplicate-cluster resolution: (node, comp) where ``comp`` is the
+    minimum id reachable from ``node`` over the pair graph — so the label IS
+    the canonical document of the cluster.  The step near-dup pipelines need
+    after pair generation: A~B and B~C must collapse to ONE keep-document
+    even though (A, C) was never emitted as a pair.
+
+    Min-label propagation: each round joins labels to the symmetric edge
+    list and takes the min over the closed neighborhood; ``localCheckpoint``
+    cuts the lineage per round (the iterative-plan blowup lesson from kNN).
+    Rounds needed = graph diameter.  Near-dup graphs are band-connected
+    near-cliques (every pair of similar docs shares an LSH bucket with high
+    probability), so diameter is small — typically <= 3; a web-scale engine
+    whose clusters may chain longer would switch to the alternating
+    small-star/large-star algorithm (same per-round shuffle shape, O(log n)
+    rounds guaranteed).  Raises if ``max_iter`` rounds don't converge rather
+    than returning partial labels.
+    """
+    e = pairs.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct().localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("comp", F.col("node")).localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .select(edges["u"].alias("node"), "comp")
+        )
+        new = (
+            nbr.unionByName(labels)
+            .groupBy("node").agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n").join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp")).limit(1).count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")

@@ -200,6 +200,18 @@ class TestDedup:
         assert ((pairs.id_a == one.vec_id) & (pairs.id_b == 99001)).any()
 
 
+    def test_connected_components_chain(self, spark):
+        # chain 1-2, 2-3 plus islands 10-11 and singleton-free 20-21-22 clique:
+        # transitively 1,2,3 share a component even though (1,3) is no pair
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "id_a long, id_b long")
+        got = {(r.node, r.comp)
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                       (20, 20), (21, 20), (22, 20)}
+
+
 class TestSimilarity:
     def test_srp_ann_recall(self, spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
