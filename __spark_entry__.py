@@ -1877,6 +1877,79 @@ ORACLES_SQL["stream_dedup_firstseen"] = """
     SELECT COUNT(*) AS n_unique, COUNT(*) AS n_distinct FROM ids
 """
 
+def _q_stream_cell_counts(spark, sf_dir):
+    """Watermarked event-time tile rollup as a STREAM: events replayed as an
+    availableNow file stream (two files → two micro-batches, so the windowed
+    state genuinely merges across batches), 1-day tumbling windows per res-3
+    parent cell, complete output mode.  The watermark is set far beyond the
+    data's event-time spread so the bounded replay provably equals the batch
+    rollup — bit-for-bit, which is what the DuckDB oracle computes through
+    the exact encode CTE chain.  (Tail-window/late-drop semantics under
+    append mode are pinned separately in tests/test_streaming.py.)"""
+    import hashlib
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.streaming.ingest import drain_available_now, streaming_cell_counts
+
+    _prep(spark, sf_dir)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.abspath(f"spark-warehouse/streams/cellcounts_{key}")
+    src = f"{base}/src"
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    ev = spark.sql(
+        # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session tz
+        # is pinned UTC, so the cast is wall-clock identity)
+        f"SELECT CAST(ts AS TIMESTAMP) AS event_time, {_PT_SPARK.format(k='event_id')},"
+        " event_id FROM events"
+    )
+    ev.filter("pmod(event_id, 2) = 0").coalesce(1).write.parquet(src)
+    ev.filter("pmod(event_id, 2) = 1").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink_name = f"cellcounts_{key}"
+    q = (
+        streaming_cell_counts(
+            stream.select("event_time", "lon", "lat"),
+            res=7, window="1 day", watermark="90 days",
+        )
+        .writeStream.format("memory").queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain_available_now(q, timeout=120)
+    return spark.table(sink_name).select(
+        F.unix_timestamp("start").cast("long").alias("day_start"),
+        "parent_cell",
+        "n",
+    ).orderBy("day_start", "parent_cell")
+
+
+def _stream_cell_counts_oracle_sql() -> str:
+    from a5pg_spark.oracle_gen import encode_cte_chain
+
+    ctes, final = encode_cte_chain(7)
+    return f"""
+    WITH pts AS (SELECT event_id AS key, {_PT.format(k="event_id")} FROM events),
+    {ctes},
+    j AS (SELECT e.ts AS ts, enc.cell AS cell
+          FROM events e JOIN {final} enc ON enc.key = e.event_id)
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+           {_parent_duck('cell', 3)} AS parent_cell, COUNT(*) AS n
+    FROM j GROUP BY 1, 2 ORDER BY day_start, parent_cell
+"""
+
+
+ORACLES_SQL["stream_cell_counts"] = _stream_cell_counts_oracle_sql()
+
+
 def _phash_fixture(n: int = 256):
     """Deterministic (image_id, phash) rows with planted near-duplicates:
     every i ≡ 1 (mod 4) is image i-1's phash with a ≤3-bit flip (a true
@@ -2030,6 +2103,7 @@ _OPERATOR_QUERIES = {
     "snapshot_stage_resume": _q_snapshot_stage_resume,
     "stream_ingest_snapshot": _q_stream_ingest_snapshot,
     "stream_dedup_firstseen": _q_stream_dedup,
+    "stream_cell_counts": _q_stream_cell_counts,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,
     "spatial_join_elephant": _q_spatial_join_elephant,
