@@ -1877,6 +1877,78 @@ ORACLES_SQL["stream_dedup_firstseen"] = """
     SELECT COUNT(*) AS n_unique, COUNT(*) AS n_distinct FROM ids
 """
 
+def _q_images_resize(spark, sf_dir):
+    """Multimodal resize end-to-end with an EXACT oracle: decode → 24×32
+    nearest-neighbour resize → re-encode in the row's own format
+    (operators/multimodal.py:resize_images, a pure map stage) → decode again
+    and fold per-image pixel stats (count, sum, position-weighted sum).  The
+    DuckDB oracle regenerates the resized pixels in closed form: NN gather
+    index sy=(Y·h)//24, sx=(X·w)//32 over the deterministic source pixels,
+    and the fake-jpeg path uses the codec's fixed point — decode→encode→
+    decode of (v//4)·4+2 is itself (sources/images.py:160-171) — so lossy
+    rows are exact too."""
+    _prep(spark, sf_dir)
+    import numpy as _np
+    import pandas as _pd
+
+    from pyspark.sql.types import (
+        IntegerType as _Int, LongType as _Long, StringType as _Str,
+        StructField as _SF, StructType as _ST,
+    )
+
+    from a5pg_spark.operators.multimodal import resize_images
+    from a5pg_spark.sources.images import build_images_df, decode_image
+
+    imgs = build_images_df(spark, 128, slices=8)
+    rs = resize_images(imgs, out_w=32, out_h=24)
+    schema = _ST([
+        _SF("i", _Int()), _SF("fmt", _Str()), _SF("n_pix", _Long()),
+        _SF("sum_val", _Long()), _SF("wsum", _Long()),
+    ])
+    wgt = _np.arange(24)[:, None] * 32 + _np.arange(32)[None, :] + 1
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = decode_image(bytes(r.bytes), r.fmt).astype(_np.int64)
+                rows.append((int(str(r.image_id)[3:]), r.fmt, int(img.size),
+                             int(img.sum()), int((img * wgt).sum())))
+            yield _pd.DataFrame(
+                rows, columns=["i", "fmt", "n_pix", "sum_val", "wsum"])
+
+    return rs.mapInPandas(stats, schema).orderBy("i")
+
+
+def _images_resize_oracle_sql(n: int = 128) -> str:
+    from a5pg_spark.sources.images import FMT_CYCLE, H_CYCLE, W_CYCLE
+
+    meta = ",".join(
+        f"({i},{W_CYCLE[i % 3]},{H_CYCLE[i % 3]},'{FMT_CYCLE[i % 2]}')"
+        for i in range(n)
+    )
+    v = "((i * 2654435761 + sy * 977 + sx * 131) % 256)"
+    return f"""
+    WITH meta(i, w, h, fmt) AS (VALUES {meta}),
+    pix AS (
+      SELECT i, fmt, yy.range AS yy, xx.range AS xx,
+             (yy.range * h) // 24 AS sy, (xx.range * w) // 32 AS sx
+      FROM meta, range(24) yy, range(32) xx
+    ),
+    vals AS (
+      SELECT i, fmt, yy * 32 + xx + 1 AS wgt,
+             CASE WHEN fmt = 'jpeg' THEN ({v} // 4) * 4 + 2 ELSE {v} END AS val
+      FROM pix
+    )
+    SELECT i, fmt, COUNT(*) AS n_pix, CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(SUM(val * wgt) AS BIGINT) AS wsum
+    FROM vals GROUP BY 1, 2 ORDER BY i
+"""
+
+
+ORACLES_SQL["images_resize_stats"] = _images_resize_oracle_sql()
+
+
 def _q_stream_cell_counts(spark, sf_dir):
     """Watermarked event-time tile rollup as a STREAM: events replayed as an
     availableNow file stream (two files → two micro-batches, so the windowed
@@ -2104,6 +2176,7 @@ _OPERATOR_QUERIES = {
     "stream_ingest_snapshot": _q_stream_ingest_snapshot,
     "stream_dedup_firstseen": _q_stream_dedup,
     "stream_cell_counts": _q_stream_cell_counts,
+    "images_resize_stats": _q_images_resize,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,
     "spatial_join_elephant": _q_spatial_join_elephant,
