@@ -1821,13 +1821,10 @@ def _q_stream_dedup(spark, sf_dir):
 
     import pyspark.sql.functions as F
 
-    from a5pg_spark.streaming.ingest import drain_available_now, streaming_dedup
+    from a5pg_spark.streaming.ingest import (
+        drain_available_now, no_data_microbatches_disabled, streaming_dedup)
 
     _prep(spark, sf_dir)
-    # harness may hand us a session without session.py's defaults; this conf
-    # is runtime-settable and REQUIRED for availableNow to terminate (pending
-    # ProcessingTimeTimeouts otherwise spin no-data batches for the whole TTL)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     base = os.path.abspath(f"spark-warehouse/streams/dedup_{key}")
     src, sink, ck = f"{base}/src", f"{base}/sink", f"{base}/ck"
@@ -1846,19 +1843,21 @@ def _q_stream_dedup(spark, sf_dir):
     stream = (
         spark.readStream.schema(ev1.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        streaming_dedup(stream, id_col="image_id")
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    # noDataMicroBatches is off (set above, per-query), so availableNow
-    # terminates as soon as both files are processed (~7 s); the helper
-    # force-stops + raises on overrun so a hung stream can't leak.
-    drain_available_now(q, timeout=120)
+    # noDataMicroBatches must be off while the drain runs (pending
+    # ProcessingTimeTimeouts otherwise spin no-data batches for the whole
+    # TTL); the wrapper restores the session default afterwards so later
+    # append-mode consumers aren't silently affected.
+    with no_data_microbatches_disabled(spark):
+        q = (
+            streaming_dedup(stream, id_col="image_id")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q, timeout=120)
     return (
         spark.read.parquet(sink)
         .groupBy()
@@ -1964,10 +1963,11 @@ def _q_stream_cell_counts(spark, sf_dir):
 
     import pyspark.sql.functions as F
 
-    from a5pg_spark.streaming.ingest import drain_available_now, streaming_cell_counts
+    from a5pg_spark.streaming.ingest import (
+        drain_available_now, no_data_microbatches_disabled,
+        streaming_cell_counts)
 
     _prep(spark, sf_dir)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     base = os.path.abspath(f"spark-warehouse/streams/cellcounts_{key}")
     src = f"{base}/src"
@@ -1986,17 +1986,18 @@ def _q_stream_cell_counts(spark, sf_dir):
         .parquet(src)
     )
     sink_name = f"cellcounts_{key}"
-    q = (
-        streaming_cell_counts(
-            stream.select("event_time", "lon", "lat"),
-            res=7, window="1 day", watermark="90 days",
+    with no_data_microbatches_disabled(spark):
+        q = (
+            streaming_cell_counts(
+                stream.select("event_time", "lon", "lat"),
+                res=7, window="1 day", watermark="90 days",
+            )
+            .writeStream.format("memory").queryName(sink_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory").queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_available_now(q, timeout=120)
+        drain_available_now(q, timeout=120)
     return spark.table(sink_name).select(
         F.unix_timestamp("start").cast("long").alias("day_start"),
         "parent_cell",

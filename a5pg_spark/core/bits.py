@@ -261,7 +261,8 @@ def is_valid_i64(cells) -> np.ndarray:
 
 
 def is_valid_structural(cells) -> np.ndarray:
-    """True where the 64-bit pattern is a well-formed cell id: nonzero, a
+    """True where the 64-bit pattern is a well-formed cell id: the WORLD_CELL
+    id 0 (the reference's whole-world special case, CHANGELOG.md 0.2.0), or a
     marker bit at an odd position p = 59 - 2*res (res 0..29 -> p in 1..57,
     with res 0/1 sharing p = 57), zeros below it, and origin <= 59.
 
@@ -275,4 +276,4 @@ def is_valid_structural(cells) -> np.ndarray:
     with np.errstate(divide="ignore"):
         p = np.where(low == 0, 64, np.log2(low.astype(np.float64))).astype(np.int64)
     origin = (u >> np.uint64(58)).astype(np.int64)
-    return (u != 0) & (p % 2 == 1) & (p <= 57) & (origin <= 59)
+    return (u == 0) | ((p % 2 == 1) & (p <= 57) & (origin <= 59))

@@ -226,6 +226,12 @@ def _ids_i64(cell: pd.Series, validate: bool = True) -> tuple:
     invalid = ~bits.is_valid_structural(ids)
     if nn is not None:
         invalid &= nn  # nulls are not "invalid"; callers mask them already
+    if invalid.any():
+        # neutralize BEFORE the decode kernels run: a garbage origin (>= 60)
+        # would index past the 12-face tables and crash the whole batch,
+        # where the contract is NULL-per-row.  WORLD_CELL decodes safely and
+        # these rows are masked out of every caller's output anyway.
+        ids = np.where(invalid, bits.WORLD_CELL, ids)
     return ids, invalid
 
 
@@ -372,8 +378,11 @@ def _cell_to_geojson_udf(cell: pd.Series, digits: pd.Series) -> pd.Series:
 def _is_valid_i64_udf(cell: pd.Series) -> pd.Series:
     # validate=False: this function's whole job is to report invalid ids,
     # so _ids_i64 must hand over the raw bit patterns unmasked
+    na = cell.isna()
     ids, _ = _ids_i64(cell, validate=False)
-    return pd.Series(bits.is_valid_i64(ids))
+    out = pd.Series(bits.is_valid_i64(ids), dtype="boolean")
+    out[na.to_numpy()] = pd.NA  # STRICT: NULL in -> NULL out, not true
+    return out
 
 
 @pandas_udf(ArrayType(LongType()))

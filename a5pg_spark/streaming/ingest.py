@@ -9,10 +9,40 @@ vectorized encode UDF and native bit rollups run unchanged under
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import a5_lonlat_to_cell
+
+
+@contextlib.contextmanager
+def no_data_microbatches_disabled(spark: SparkSession):
+    """Save/restore wrapper for ``spark.sql.streaming.noDataMicroBatches
+    .enabled``: OFF while the block runs, previous value restored after.
+
+    Required around ``start()`` + :func:`drain_available_now` of any query
+    holding ProcessingTimeTimeout state (``streaming_dedup``): with no-data
+    batches ON, ``availableNow`` loops cleanup batches until every timeout
+    fires and never terminates (measured 300 s+ vs 7 s).  A bare
+    ``conf.set`` here would leak session-wide and silently withhold closed
+    windows from LATER append-mode watermarked aggregations on the same
+    session — the restore is the point of this wrapper.
+    """
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def drain_available_now(q, timeout: int = 120) -> None:
@@ -73,8 +103,10 @@ def streaming_cell_counts(
     ``availableNow`` the tail windows therefore arrive on the trailing
     no-data micro-batch.  Do not disable
     ``spark.sql.streaming.noDataMicroBatches.enabled`` for append-mode
-    consumers of this rollup (``streaming_dedup`` scopes that conf to its own
-    path for exactly this reason); ``complete`` mode is unaffected.
+    consumers of this rollup (``streaming_dedup`` drains require it off —
+    which is exactly why that path uses the save/restore wrapper
+    :func:`no_data_microbatches_disabled` instead of a bare session set);
+    ``complete`` mode is unaffected.
     """
     cells = points.withColumn(
         "cell", a5_lonlat_to_cell(F.col("lon"), F.col("lat"), res)
@@ -103,20 +135,17 @@ def streaming_dedup(
     ``id_col``).  The engine-side analogue of the batch ``exact_dedup``
     for continuous ingest.
 
-    Sets ``spark.sql.streaming.noDataMicroBatches.enabled=false`` on the
-    stream's session (scoped here, not in ``session.py``): with no-data
-    batches ON, pending ProcessingTimeTimeout state (the TTL) makes
-    ``availableNow`` loop cleanup batches until every timeout fires — the
-    query never terminates (measured 300 s+ vs 7 s).  OFF expires timeouts
-    lazily on the next data batch, which is what a TTL wants.  The conf is
-    per-session: if the same session also runs append-mode watermarked
-    aggregations, run them in a separate session or re-enable the conf.
+    Conf contract: run ``start()`` + the ``availableNow`` drain inside
+    :func:`no_data_microbatches_disabled` — pending ProcessingTimeTimeout
+    state (the TTL) otherwise makes ``availableNow`` loop no-data cleanup
+    batches until every timeout fires and the query never terminates
+    (measured 300 s+ vs 7 s).  This function no longer mutates the session
+    conf itself: building a DataFrame must not leak a session-wide setting
+    that silently withholds closed windows from later append-mode
+    watermarked aggregations (``streaming_cell_counts``'s output-mode note).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import IntegerType, StructField, StructType
-
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "false")
 
     out_schema = events.schema
     state_schema = StructType([StructField("seen", IntegerType())])

@@ -54,11 +54,13 @@ class TestGoldens:
         # every well-formed id is structurally valid, INCLUDING the i64-
         # overflowing Tokyo id (origin 33 wraps negative — still decodable)
         tokyo = np.array([0x872F8A8000000000], dtype=np.uint64).view(np.int64)[0]
+        # id 0 is the reference's WORLD_CELL special case (CHANGELOG 0.2.0):
+        # structurally valid, decodes to (0, 0) — NOT garbage
         ok = bits.is_valid_structural(
-            np.array([NYC10, WORLD0, tokyo], dtype=np.int64))
+            np.array([NYC10, WORLD0, tokyo, bits.WORLD_CELL], dtype=np.int64))
         assert ok.all()
-        # garbage: zero, even marker position, origin > 59, no marker
-        bad = np.array([0, NYC10 & ~(1 << 39) | (1 << 38),
+        # garbage: even marker position, origin > 59, no marker
+        bad = np.array([NYC10 & ~(1 << 39) | (1 << 38),
                         -1 << 62 | (1 << 57) | (1 << 58) | (3 << 60), 1 << 58],
                        dtype=np.int64)
         assert not bits.is_valid_structural(bad).any()

@@ -170,3 +170,37 @@ def test_wkt_geojson_udf_cross_consistency(spark):
     wkt_ring = [[float(v) for v in pt.split(" ")]
                 for pt in r["wkt"][len("POLYGON(("):-2].split(",")]
     assert wkt_ring == [list(p) for p in r["b"]]
+
+
+def test_invalid_ids_null_not_crash(spark):
+    """Decode UDFs must NULL structurally-invalid ids per-row (the
+    reference's .ok()? semantics), not crash the batch: a garbage origin
+    (>= 60) would index past the 12-face tables inside the NumPy kernel if
+    it reached it unneutralized."""
+    rows = spark.sql("""
+        SELECT c, a5_cell_to_lonlat(c) AS ll, a5_cell_to_boundary(c) AS b
+        FROM VALUES (CAST(((60::BIGINT << 58) | (1::BIGINT << 57)) AS BIGINT)),
+                    (2742822465196523520) AS t(c) ORDER BY c
+    """).collect()
+    bad = [r for r in rows if r.c != 2742822465196523520][0]
+    good = [r for r in rows if r.c == 2742822465196523520][0]
+    assert bad.ll is None and bad.b is None
+    assert good.ll is not None and good.b is not None
+
+
+def test_world_cell_zero_decodes(spark):
+    """id 0 is the WORLD_CELL special case (reference CHANGELOG 0.2.0):
+    decodes to (0, 0), never NULLed as garbage."""
+    r = spark.sql("SELECT a5_cell_to_lonlat(0) AS ll").first()
+    assert r.ll is not None and list(r.ll) == [0.0, 0.0]
+
+
+def test_is_valid_i64_null_in_null_out(spark):
+    """STRICT parity: a5_is_valid_i64(NULL) is NULL, not true."""
+    rows = spark.sql(
+        "SELECT c, a5_is_valid_i64(c) AS v FROM VALUES "
+        "(CAST(NULL AS BIGINT)), (2742822465196523520) AS t(c)"
+    ).collect()
+    got = {r.c: r.v for r in rows}
+    assert got[2742822465196523520] is True
+    assert got[None] is None

@@ -57,7 +57,8 @@ def _rows(batch, ids):
 
 
 def test_streaming_dedup_across_microbatches(spark, src_dir, tmp_path_factory):
-    from a5pg_spark.streaming.ingest import drain_available_now, streaming_dedup
+    from a5pg_spark.streaming.ingest import (
+        drain_available_now, no_data_microbatches_disabled, streaming_dedup)
 
     # batch 1: ids 1,2,3 (+ in-batch dup of 1); batch 2: ids 2,3,4,5
     _write_batch(spark, src_dir, _rows(0, [1, 1, 2, 3]), 1)
@@ -70,15 +71,16 @@ def test_streaming_dedup_across_microbatches(spark, src_dir, tmp_path_factory):
     )
     out = streaming_dedup(stream, id_col="image_id")
     ck = str(tmp_path_factory.mktemp("ck1"))
-    q = (
-        out.writeStream.format("memory")
-        .queryName("dedup_out")
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain_available_now(q, timeout=120)
+    with no_data_microbatches_disabled(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        drain_available_now(q, timeout=120)
     got = {r.image_id for r in spark.sql("SELECT image_id FROM dedup_out").collect()}
     n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").collect()[0].n
     assert got == {"img-1", "img-2", "img-3", "img-4", "img-5"}
@@ -166,7 +168,8 @@ def test_streaming_cell_counts_append_emits_closed_windows(
 def test_streaming_dedup_resumes_from_checkpoint(spark, src_dir, tmp_path_factory):
     """Checkpoint-resume: a second availableNow run over a grown directory
     picks up where the first stopped — previously-seen keys stay deduped."""
-    from a5pg_spark.streaming.ingest import drain_available_now, streaming_dedup
+    from a5pg_spark.streaming.ingest import (
+        drain_available_now, no_data_microbatches_disabled, streaming_dedup)
 
     ck = str(tmp_path_factory.mktemp("ck3"))
     sink = str(tmp_path_factory.mktemp("sink3"))
@@ -178,16 +181,17 @@ def test_streaming_dedup_resumes_from_checkpoint(spark, src_dir, tmp_path_factor
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )
-        q = (
-            streaming_dedup(stream, id_col="image_id")
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        drain_available_now(q, timeout=120)
+        with no_data_microbatches_disabled(spark):
+            q = (
+                streaming_dedup(stream, id_col="image_id")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .outputMode("append")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            drain_available_now(q, timeout=120)
 
     run()
     out1 = spark.read.parquet(sink)
