@@ -252,25 +252,30 @@ def simhash(df: DataFrame, text_col: str = "text",
     return df.withColumn("simhash", _simhash_fold(toks))
 
 
-def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", max_hamming: int = 3,
-                           hash_mode: str = "xxhash64") -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via band blocking
-    (4 bands ⇒ exact recall for ≤ 3 differing bits — pigeonhole).  64-bit
-    hash → 4×16-bit bands; portable 32-bit hash → 4×8-bit bands."""
-    band_bits, band_mask = (8, 255) if hash_mode == "portable" else (16, 65535)
-    s = simhash(df, text_col, hash_mode=hash_mode).select(id_col, "simhash")
+def _banded_hamming_pairs(s: DataFrame, id_col: str, hash_col: str,
+                          band_bits: int, max_hamming: int) -> DataFrame:
+    """Shared band-block → self-join → bit_count(xor) verify pipeline for
+    Hamming near-dup over a single hash column (simhash, phash).
+
+    4 bands of ``band_bits`` bits each: a pair within ``max_hamming`` ≤ 3
+    differing bits shares at least one identical band (pigeonhole), so
+    recall is EXACT.  100 TB shape: only (id, hash, band) tuples cross the
+    band shuffle; the self-join is an equi-join per band bucket (never all
+    pairs); verification is JVM bit math on the small candidate set.
+    Returns (id_a, id_b, hamming:long).
+    """
+    band_mask = (1 << band_bits) - 1
     banded = s.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), b -> struct(b AS band_id, "
-                f"shiftright(simhash, CAST(b * {band_bits} AS INT)) & "
+                f"shiftright({hash_col}, CAST(b * {band_bits} AS INT)) & "
                 f"CAST({band_mask} AS BIGINT) AS band_val))"
             )
         ).alias("band"),
-    ).select(id_col, "simhash", "band.band_id", "band.band_val")
+    ).select(id_col, hash_col, "band.band_id", "band.band_val")
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -282,15 +287,26 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
+            F.col(f"l.{hash_col}").alias("h_a"),
+            F.col(f"r.{hash_col}").alias("h_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("long")
     return cand.withColumn("hamming", ham).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", max_hamming: int = 3,
+                           hash_mode: str = "xxhash64") -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, via band blocking
+    (4 bands ⇒ exact recall for ≤ 3 differing bits — pigeonhole).  64-bit
+    hash → 4×16-bit bands; portable 32-bit hash → 4×8-bit bands."""
+    band_bits = 8 if hash_mode == "portable" else 16
+    s = simhash(df, text_col, hash_mode=hash_mode).select(id_col, "simhash")
+    return _banded_hamming_pairs(s, id_col, "simhash", band_bits, max_hamming)
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -382,36 +398,7 @@ def phash_near_dup_pairs(df: DataFrame, id_col: str = "image_id",
     set.
     """
     s = df.select(F.col(id_col), F.col(phash_col).alias("__ph"))
-    banded = s.select(
-        id_col,
-        "__ph",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> struct(b AS band_id, "
-                "shiftright(__ph, CAST(b * 16 AS INT)) & CAST(65535 AS BIGINT) AS band_val))"
-            )
-        ).alias("band"),
-    ).select(id_col, "__ph", "band.band_id", "band.band_val")
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.__ph").alias("ph_a"),
-            F.col("r.__ph").alias("ph_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return cand.withColumn("hamming", ham).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return _banded_hamming_pairs(s, id_col, "__ph", 16, max_hamming)
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
