@@ -80,6 +80,49 @@ class SnapshotTable:
         return list(reversed(out))
 
     # --------------------------------------------------------------- writes
+    @staticmethod
+    def _footer_entries(paths: list, sort_col: str | None) -> list:
+        """Per-file manifest entries from parquet FOOTERS only (rows, bytes,
+        sort-column min/max for pruning) — no data read.  Shared by the
+        write and compaction paths so the stat shape can't drift."""
+        files = []
+        for path in paths:
+            md = pq.ParquetFile(path).metadata
+            lo = hi = None
+            if sort_col is not None:
+                idx = md.schema.names.index(sort_col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+            files.append({"path": path, "rows": md.num_rows,
+                          "bytes": os.path.getsize(path), "min": lo, "max": hi})
+        return files
+
+    @staticmethod
+    def _attach_cells_metric(spark, files: list, cell_col: str | None) -> None:
+        """Per-file "cells" metric (north-rule manifest tuple: rows, cells,
+        bytes, skew) in ONE distributed pass grouped by input_file_name —
+        never one job per file.  Exact count_distinct for test determinism;
+        at 100 TB swap to approx_count_distinct or fold the counter into the
+        write job itself (custom commit protocol) to avoid the read-back."""
+        if cell_col is None or not files:
+            return
+        from pyspark.sql import functions as F
+
+        per = (
+            spark.read.parquet(*[f["path"] for f in files])
+            .groupBy(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
+            )
+            .agg(F.count_distinct(cell_col).alias("c"))
+            .collect()
+        )
+        cmap = {r["__f"]: int(r["c"]) for r in per}
+        for f in files:
+            f["cells"] = cmap.get(os.path.basename(f["path"]), 0)
+
     def _write_files(self, df: DataFrame, sort_col: str | None,
                      cell_col: str | None = None) -> tuple[str, list]:
         snap_dir = os.path.join(self.data_dir, f"snap-{uuid.uuid4().hex[:12]}")
@@ -90,44 +133,10 @@ class SnapshotTable:
             n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
             w = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
         w.write.mode("errorifexists").parquet(snap_dir)
-        files = []
-        for name in sorted(os.listdir(snap_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(snap_dir, name)
-            md = pq.ParquetFile(path).metadata
-            lo = hi = None
-            if sort_col is not None:
-                idx = md.schema.names.index(sort_col)
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-            files.append({
-                "path": path, "rows": md.num_rows,
-                "bytes": os.path.getsize(path), "min": lo, "max": hi,
-            })
-        if cell_col is not None and files:
-            # per-partition "cells" metric (north-rule manifest tuple:
-            # rows, cells, bytes, skew): one distributed pass grouped by
-            # file — exact count_distinct here for test determinism; at
-            # 100 TB swap to approx_count_distinct or fold the counter into
-            # the write job itself (custom commit protocol) to avoid the
-            # read-back
-            from pyspark.sql import functions as F
-
-            per = (
-                df.sparkSession.read.parquet(snap_dir)
-                .groupBy(
-                    F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f")
-                )
-                .agg(F.count_distinct(cell_col).alias("c"))
-                .collect()
-            )
-            cmap = {r["__f"]: int(r["c"]) for r in per}
-            for f in files:
-                f["cells"] = cmap.get(os.path.basename(f["path"]), 0)
+        paths = [os.path.join(snap_dir, n) for n in sorted(os.listdir(snap_dir))
+                 if n.endswith(".parquet")]
+        files = self._footer_entries(paths, sort_col)
+        self._attach_cells_metric(df.sparkSession, files, cell_col)
         return snap_dir, files
 
     def _commit(self, operation: str, files: list, schema_json: str,
@@ -236,35 +245,19 @@ class SnapshotTable:
             bins.append(cur)
         snap_dir = os.path.join(self.data_dir, f"snap-{uuid.uuid4().hex[:12]}")
         os.makedirs(snap_dir, exist_ok=True)
-        from pyspark.sql import functions as F
-
-        new_files = []
+        new_paths = []
         for bi, bin_files in enumerate(bins):
             df = spark.read.parquet(*[f["path"] for f in bin_files])
             if sort_col is not None:
                 df = df.sort(sort_col)
             out_dir = os.path.join(snap_dir, f"bin-{bi}")
             df.coalesce(1).write.mode("errorifexists").parquet(out_dir)
-            for name in sorted(os.listdir(out_dir)):
-                if not name.endswith(".parquet"):
-                    continue
-                path = os.path.join(out_dir, name)
-                md = pq.ParquetFile(path).metadata
-                lo = hi = None
-                if sort_col is not None:
-                    idx = md.schema.names.index(sort_col)
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            lo = st.min if lo is None else min(lo, st.min)
-                            hi = st.max if hi is None else max(hi, st.max)
-                entry = {"path": path, "rows": md.num_rows,
-                         "bytes": os.path.getsize(path), "min": lo, "max": hi}
-                if cell_col is not None:
-                    entry["cells"] = (
-                        spark.read.parquet(path)
-                        .agg(F.count_distinct(cell_col)).collect()[0][0])
-                new_files.append(entry)
+            new_paths.extend(
+                os.path.join(out_dir, n) for n in sorted(os.listdir(out_dir))
+                if n.endswith(".parquet"))
+        new_files = self._footer_entries(new_paths, sort_col)
+        # one grouped metric pass over ALL bins (was one Spark job per file)
+        self._attach_cells_metric(spark, new_files, cell_col)
         return self._commit("compact", new_files, man["schema"], sort_col,
                             True, replace_paths={f["path"] for f in small})
 
