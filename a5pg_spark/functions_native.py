@@ -307,18 +307,32 @@ def cell_bbox_prefilter(df, lon_col: str, lat_col: str, cells,
     ids = np.asarray(list(cells), dtype=np.int64)
     if ids.size == 0:
         return df.filter(F.lit(False))
-    rings = _cells.cell_to_boundary_batch(ids, closed_ring=False, segments=4)
+    # Cell edges are CURVES in lon/lat (inverse-projected planar chords), so
+    # a bbox of sampled vertices alone is NOT a guaranteed superset — the
+    # curve can bulge past the extremum of any finite sample.  Sample at two
+    # densities and use the box growth as an adaptive error estimate: the
+    # sampling error of a smooth curve decays ~4x per doubling, so the
+    # residual beyond the denser box is <= growth/3; each box is padded by
+    # 2x the observed growth (plus the caller's margin_deg).
+    rings_lo = _cells.cell_to_boundary_batch(ids, closed_ring=False, segments=8)
+    rings_hi = _cells.cell_to_boundary_batch(ids, closed_ring=False, segments=16)
     disj = None
-    for ring in rings:
-        lons = ring[:, 0]
-        lats = ring[:, 1]
-        lat_pred = (F.col(lat_col) >= float(lats.min() - margin_deg)) & (
-            F.col(lat_col) <= float(lats.max() + margin_deg))
+    for rlo, rhi in zip(rings_lo, rings_hi):
+        lons, lats = rhi[:, 0], rhi[:, 1]
+        growth = max(
+            abs(float(rhi[:, 0].min()) - float(rlo[:, 0].min())),
+            abs(float(rhi[:, 0].max()) - float(rlo[:, 0].max())),
+            abs(float(rhi[:, 1].min()) - float(rlo[:, 1].min())),
+            abs(float(rhi[:, 1].max()) - float(rlo[:, 1].max())),
+        )
+        pad = 2.0 * growth + margin_deg
+        lat_pred = (F.col(lat_col) >= float(lats.min()) - pad) & (
+            F.col(lat_col) <= float(lats.max()) + pad)
         if lons.max() - lons.min() > 180.0:  # antimeridian wrap
             pred = lat_pred
         else:
             pred = lat_pred & (
-                F.col(lon_col) >= float(lons.min() - margin_deg)) & (
-                F.col(lon_col) <= float(lons.max() + margin_deg))
+                F.col(lon_col) >= float(lons.min()) - pad) & (
+                F.col(lon_col) <= float(lons.max()) + pad)
         disj = pred if disj is None else (disj | pred)
     return df.filter(disj)

@@ -188,3 +188,32 @@ def test_skew_salted_join_spreads_hot_cell(spark, sf_dir):
     assert len(hot) == 8
     counts = [r.n for r in hot]
     assert max(counts) < 2.5 * min(counts)
+
+
+def test_cell_bbox_prefilter_completeness_random(spark):
+    """Superset property under the adaptive curvature pad: for random dense
+    points and cells at several resolutions, EVERY point that encodes into a
+    listed cell must survive the prefilter — curved cell edges may bulge
+    past any sampled vertex, which the two-density growth pad must cover."""
+    import numpy as np
+
+    from a5pg_spark.core import cells as C
+    from a5pg_spark.functions_native import cell_bbox_prefilter
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-85, 85, 20000)
+    import pandas as pd
+    pts = spark.createDataFrame(pd.DataFrame({"lon": lon, "lat": lat}))
+    for res in (2, 3, 5):
+        enc = C.lonlat_to_cell(lon, lat, res)
+        # the 5 most populated cells at this res
+        vals, counts = np.unique(enc, return_counts=True)
+        targets = vals[np.argsort(-counts)[:5]]
+        want = int(np.isin(enc, targets).sum())
+        kept = cell_bbox_prefilter(pts, "lon", "lat", [int(t) for t in targets])
+        kept_pd = kept.toPandas()
+        got = int(np.isin(
+            C.lonlat_to_cell(kept_pd.lon.to_numpy(), kept_pd.lat.to_numpy(), res),
+            targets).sum())
+        assert got == want, f"res {res}: prefilter dropped {want - got} in-cell points"
