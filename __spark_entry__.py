@@ -1876,6 +1876,70 @@ ORACLES_SQL["stream_dedup_firstseen"] = """
     SELECT COUNT(*) AS n_unique, COUNT(*) AS n_distinct FROM ids
 """
 
+_RAS_BBOX = (-40.0, -45.0, 40.0, 40.0)
+_RAS_W, _RAS_H = 96, 64
+
+
+def _q_rasterize_cells(spark, sf_dir):
+    """Vector→raster: per-cell point counts (res 6, orders-derived points)
+    rendered onto a 96×64 pixel grid over the elephant region — the inverse
+    direction of images_tiling_mosaic, closing the raster↔vector loop.
+    EXACT oracle: one generated encode chain serves BOTH sides (points and
+    pixel centers union with disjoint key ranges), the left join and
+    position-weighted digest replay in ANSI SQL."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.functions_native import encode_native
+    from a5pg_spark.operators.tiling import rasterize_cells
+
+    pts = spark.sql(
+        f"SELECT {_PT_SPARK.format(k='o_orderkey')} FROM orders")
+    counts = (
+        encode_native(pts, "lon", "lat", 6, "cell")
+        .groupBy("cell").agg(F.count("*").alias("n"))
+    )
+    ras = rasterize_cells(spark, counts, _RAS_BBOX, _RAS_W, _RAS_H, 6)
+    return ras.agg(
+        F.count("*").alias("n_pixels"),
+        F.count("n").alias("covered_pixels"),
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("total_hits"),
+        F.sum((F.col("y").cast("long") * _RAS_W + F.col("x") + 1)
+              * F.coalesce(F.col("n"), F.lit(0))).alias("digest"),
+    )
+
+
+def _rasterize_oracle_sql() -> str:
+    from a5pg_spark.oracle_gen import encode_cte_chain
+
+    ctes, final = encode_cte_chain(6)
+    lon0, lat0, lon1, lat1 = _RAS_BBOX
+    W, H = _RAS_W, _RAS_H
+    return f"""
+    WITH pts AS (
+      SELECT o_orderkey AS key, {_PT.format(k="o_orderkey")} FROM orders
+      UNION ALL
+      SELECT 1000000000 + y.range * {W} + x.range,
+             {lon0!r} + (CAST(x.range AS DOUBLE) + 0.5) * {(lon1 - lon0)!r} / {float(W)!r},
+             {lat0!r} + (CAST(y.range AS DOUBLE) + 0.5) * {(lat1 - lat0)!r} / {float(H)!r}
+      FROM range({H}) y, range({W}) x
+    ),
+    {ctes},
+    counts AS (SELECT cell, COUNT(*) AS n FROM {final}
+               WHERE key < 1000000000 GROUP BY 1),
+    px AS (SELECT key - 1000000000 AS pk, cell FROM {final}
+           WHERE key >= 1000000000),
+    j AS (SELECT pk, n FROM px LEFT JOIN counts USING (cell))
+    SELECT COUNT(*) AS n_pixels, COUNT(n) AS covered_pixels,
+           CAST(SUM(COALESCE(n, 0)) AS BIGINT) AS total_hits,
+           CAST(SUM((pk + 1) * COALESCE(n, 0)) AS BIGINT) AS digest
+    FROM j
+"""
+
+
+ORACLES_SQL["rasterize_cells"] = _rasterize_oracle_sql()
+
+
 def _q_images_resize(spark, sf_dir):
     """Multimodal resize end-to-end with an EXACT oracle: decode → 24×32
     nearest-neighbour resize → re-encode in the row's own format
@@ -2176,6 +2240,7 @@ _OPERATOR_QUERIES = {
     "stream_dedup_firstseen": _q_stream_dedup,
     "stream_cell_counts": _q_stream_cell_counts,
     "images_resize_stats": _q_images_resize,
+    "rasterize_cells": _q_rasterize_cells,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,
     "spatial_join_elephant": _q_spatial_join_elephant,

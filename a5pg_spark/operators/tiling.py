@@ -135,3 +135,53 @@ def cell_mosaic(tiles: DataFrame, target_res: int) -> DataFrame:
             F.countDistinct("image_id").alias("n_images"),
         )
     )
+
+
+def rasterize_cells(spark, cell_values: DataFrame, bbox: tuple, w: int, h: int,
+                    res: int, cell_col: str = "cell",
+                    broadcast_values: bool = True) -> DataFrame:
+    """Vector→raster: render per-cell values onto a w×h pixel grid — the
+    inverse of :func:`pixels_to_cells`/:func:`cell_mosaic` (together they
+    close the north-rule's raster↔vector tiling loop).
+
+    Each pixel CENTER is georeferenced inside ``bbox = (lon0, lat0, lon1,
+    lat1)``, assigned its containing A5 cell with the JVM-native encode, and
+    left-joined to ``cell_values`` (uncovered pixels keep NULLs).  100 TB
+    shape: the grid is generated distributed from ``range(w·h)`` (never
+    collected), the encode is one codegen span, and the cell layer — the
+    small side by construction (a cover / aggregate) — broadcasts; a giant
+    value layer can set ``broadcast_values=False`` for a shuffle join keyed
+    on the cell.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions_native import encode_native
+
+    lon0, lat0, lon1, lat1 = (float(v) for v in bbox)
+    grid = spark.range(w * h).selectExpr(
+        f"CAST(id % {w} AS INT) AS x",
+        f"CAST(id DIV {w} AS INT) AS y",
+        f"{lon0!r}D + (CAST(id % {w} AS DOUBLE) + 0.5D) * "
+        f"{(lon1 - lon0)!r}D / {float(w)!r}D AS lon",
+        f"{lat0!r}D + (CAST(id DIV {w} AS DOUBLE) + 0.5D) * "
+        f"{(lat1 - lat0)!r}D / {float(h)!r}D AS lat",
+    )
+    px = encode_native(grid.select("x", "y", "lon", "lat"),
+                       "lon", "lat", res, "__cell")
+    # MATERIALIZE the values side before joining (localCheckpoint: executor
+    # blocks, no driver round-trip).  Joining a LIVE aggregate whose child is
+    # the ~25-stage unrolled encode spins the optimizer indefinitely
+    # (measured: >10 min at sf0.001 vs 1 s checkpointed — a join-side
+    # canonicalization walks the huge projection chain; the CollectMetrics
+    # barrier does not protect the AGGREGATE-above-encode shape).  The
+    # values layer is the small side by construction, so the checkpoint is
+    # cover-sized; callers with a huge layer should pre-materialize it
+    # themselves and pass broadcast_values=False.
+    vals = cell_values.withColumnRenamed(cell_col, "__vc").localCheckpoint()
+    if broadcast_values:
+        vals = F.broadcast(vals)
+    return (
+        px.join(vals, px["__cell"] == vals["__vc"], "left")
+        .drop("__vc")
+        .withColumnRenamed("__cell", "cell")
+    )

@@ -217,3 +217,20 @@ def test_cell_bbox_prefilter_completeness_random(spark):
             C.lonlat_to_cell(kept_pd.lon.to_numpy(), kept_pd.lat.to_numpy(), res),
             targets).sum())
         assert got == want, f"res {res}: prefilter dropped {want - got} in-cell points"
+
+
+def test_rasterize_cells_plans_and_runs_bounded(spark, sf_dir):
+    """Joining a LIVE aggregate-over-the-unrolled-encode spins the optimizer
+    indefinitely (>10 min measured); rasterize_cells materializes its values
+    side (localCheckpoint) before the join, so the whole vector→raster query
+    must finish in bounded time, cover the grid fully, and hit the region."""
+    import time as _t
+
+    import __spark_entry__ as E
+
+    t0 = _t.time()
+    row = E.queries()["rasterize_cells"](spark, sf_dir).collect()[0]
+    assert _t.time() - t0 < 120.0
+    assert row.n_pixels == 96 * 64
+    assert 0 < row.covered_pixels <= row.n_pixels
+    assert row.total_hits > 0
