@@ -84,13 +84,31 @@ def load_corpus(gt):
     return parts
 
 
+# Optional integer frame applied to anchor targets (z' = F z): the upstream
+# walk may accumulate offsets in a SHEARED basis (KJ coords) relative to the
+# orthogonal pentagon frame, which pushes table entries outside the +-2 box
+# unless the targets are pre-transformed.  5 coset representatives of
+# {entries<=1, det +-1} modulo signed permutations (those are absorbed by the
+# table/parity sweeps); index via env ANCHOR2_FRAME.
+FRAMES = [
+    ((1, 0), (0, 1)),
+    ((1, 1), (0, 1)),
+    ((1, 0), (1, 1)),
+    ((1, 1), (1, 0)),
+    ((1, 0), (1, -1)),
+]
+FRAME = FRAMES[int(os.environ.get("ANCHOR2_FRAME", "0"))]
+
+
 def targets_for(parts, pmap):
+    (fa, fb), (fc, fd) = FRAME
     out = {}
     for pname, v in parts.items():
         ts = set()
         for (i, j, c) in v["cells"]:
             px, py = pmap[c]
-            ts.add((2 * i + px, 2 * j + py))
+            zx, zy = 2 * i + px, 2 * j + py
+            ts.add((fa * zx + fb * zy, fc * zx + fd * zy))
         assert len(ts) == len(v["cells"])
         out[pname] = ts
     return out
@@ -190,7 +208,8 @@ def solve_config(task, targets3, deadline, mode):
             q0 = PIDX[(0, 0)]
             if any(cs not in A[q0] for cs in corner_states):
                 continue
-            for Vp in range(4):
+            # Vp pins nothing when A is unconstrained (pos mode)
+            for Vp in (range(1) if mode == "pos" else range(4)):
                 vpx, vpy = Vp & 1, (Vp >> 1) & 1
                 # want with V-shifted parities
                 ok = True
@@ -218,12 +237,19 @@ def solve_config(task, targets3, deadline, mode):
 
 
 def dfs_tables(T, walks, el_i, targets, A, Vp, sc, orb, deadline):
+    """Table DFS in DIFFERENCE space relative to the eye_left walk.
+
+    The gauge V never enters: every walk is matched as
+        z(w) - z(eye_left)  in  {t - t(eye_left) : t in targets[part(w)]}
+    so pruning bites from the very first variable (the old formulation
+    could not prune anything until eye_left's ~6 variables fixed V, an
+    up-to-12^6-node blind prefix PER COMBO).  The Vp consistency is
+    implied by the parity pins, so no explicit V check is needed.
+    """
     sx, sy = SCALES[sc]
     WX = [sx ** (NSUF - 1 - k) for k in range(NSUF)]
     WY = [sy ** (NSUF - 1 - k) for k in range(NSUF)]
     vpx, vpy = Vp & 1, (Vp >> 1) & 1
-
-    er_i = next(n for n, (p, _, _) in enumerate(walks) if p == "eye_right")
 
     pinned = {(0, s) for s in orb}
     use = Counter()
@@ -231,22 +257,19 @@ def dfs_tables(T, walks, el_i, targets, A, Vp, sc, orb, deadline):
         for k in steps:
             if k not in pinned:
                 use[k] += 1
-    eye_vars = []
-    for n in (el_i, er_i):
-        for k in walks[n][1]:
-            if k not in pinned and k not in eye_vars:
-                eye_vars.append(k)
-    order = eye_vars + [k for k, _ in use.most_common() if k not in eye_vars]
+    el_steps = walks[el_i][1]
+    el_keys = []
+    for k in el_steps:
+        if k not in pinned and k not in el_keys:
+            el_keys.append(k)
+    order = el_keys + [k for k, _ in use.most_common() if k not in el_keys]
     vidx = {k: n for n, k in enumerate(order)}
     nvar = len(order)
 
-    # candidate (vx, vy) pairs per entry: target parity of the entry must be
-    # in the allowed set for the successor state
+    # candidate (vx, vy) pairs per entry, parity-pinned via the successor
     cand = []
     for (d, s) in order:
         s2 = T[s][d]
-        # allowed anchor parities q (V-shifted into walk space):
-        # walk z parity == q XOR Vp for target parity q; entry sets z parity.
         allowed = [q for q in range(4) if s2 in A[q]]
         pairs = []
         for vx in GBOX:
@@ -259,74 +282,78 @@ def dfs_tables(T, walks, el_i, targets, A, Vp, sc, orb, deadline):
         cand.append(pairs)
 
     nw = len(walks)
-    cox = [[0] * nvar for _ in range(nw)]
-    coy = [[0] * nvar for _ in range(nw)]
+    el_cox = [0] * nvar
+    el_coy = [0] * nvar
+    for k, key in enumerate(el_steps):
+        if key in pinned:
+            continue
+        i = vidx[key]
+        el_cox[i] += WX[k]
+        el_coy[i] += WY[k]
+
+    dcox = [[0] * nvar for _ in range(nw)]
+    dcoy = [[0] * nvar for _ in range(nw)]
     for n, (_, steps, _) in enumerate(walks):
+        cx = dcox[n]
+        cy = dcoy[n]
         for k, key in enumerate(steps):
             if key in pinned:
                 continue
             i = vidx[key]
-            cox[n][i] += WX[k]
-            coy[n][i] += WY[k]
-    sufx = [[0] * (nvar + 1) for _ in range(nw)]
-    sufy = [[0] * (nvar + 1) for _ in range(nw)]
+            cx[i] += WX[k]
+            cy[i] += WY[k]
+        for i in range(nvar):
+            cx[i] -= el_cox[i]
+            cy[i] -= el_coy[i]
+
+    dsufx = [[0] * (nvar + 1) for _ in range(nw)]
+    dsufy = [[0] * (nvar + 1) for _ in range(nw)]
     for n in range(nw):
         for i in range(nvar - 1, -1, -1):
-            sufx[n][i] = sufx[n][i + 1] + 2 * abs(cox[n][i])
-            sufy[n][i] = sufy[n][i + 1] + 2 * abs(coy[n][i])
+            dsufx[n][i] = dsufx[n][i + 1] + 2 * abs(dcox[n][i])
+            dsufy[n][i] = dsufy[n][i + 1] + 2 * abs(dcoy[n][i])
 
-    # per-variable: affected walks; walks that become determined after it
     aff = [[] for _ in range(nvar)]
     det_at = [[] for _ in range(nvar)]
     last_var = [None] * nw
     for n in range(nw):
+        if n == el_i:
+            continue
         for i in range(nvar):
-            if cox[n][i] or coy[n][i]:
+            if dcox[n][i] or dcoy[n][i]:
                 aff[i].append(n)
                 last_var[n] = i
         if last_var[n] is not None:
             det_at[last_var[n]].append(n)
-    always_det = [n for n in range(nw) if last_var[n] is None]
+    always_det = [n for n in range(nw)
+                  if n != el_i and last_var[n] is None]
+
+    wpart = [w[0] for w in walks]
+    wfinal = [w[2] for w in walks]
+    el_t = next(iter(targets["eye_left"]))
+    elx, ely = el_t
+
+    # difference targets, with the A-compatible final states precomputed:
+    # part -> list of (dtx, dty); compat checked via target parity
+    dtargets = {}
+    tpar = {}
+    for p, ts in targets.items():
+        lst = []
+        for (tx, ty) in ts:
+            dt = (tx - elx, ty - ely)
+            lst.append(dt)
+            tpar[(p, dt)] = PIDX[(tx & 1, ty & 1)]
+        dtargets[p] = lst
+    dtsets = {p: set(v) for p, v in dtargets.items()}
 
     zx = [0] * nw
     zy = [0] * nw
-    wpart = [w[0] for w in walks]
-    wfinal = [w[2] for w in walks]
-    tlist = {p: list(targets[p]) for p in targets}
-    el_t = next(iter(targets["eye_left"]))
-    er_t = next(iter(targets["eye_right"]))
-    dx_t = el_t[0] - er_t[0]
-    dy_t = el_t[1] - er_t[1]
-    el_last = last_var[el_i] if last_var[el_i] is not None else -1
     sol = [None]
     gx = [0] * nvar
     gy = [0] * nvar
     used = set()
 
-    def check_det(n, Vx, Vy):
-        """Validate a fully determined walk; returns key added to `used`
-        or None on failure."""
-        p = wpart[n]
-        pt = (zx[n] + Vx, zy[n] + Vy)
-        if pt not in targets[p]:
-            return None
-        if wfinal[n] not in A[PIDX[(pt[0] & 1, pt[1] & 1)]]:
-            return None
-        key = (p, pt)
-        if key in used:
-            return None
-        used.add(key)
-        return key
-
-    def box_ok(n, depth, Vx, Vy):
-        smx, smy = sufx[n][depth], sufy[n][depth]
-        ax, ay = zx[n] + Vx, zy[n] + Vy
-        for (tx, ty) in tlist[wpart[n]]:
-            if abs(tx - ax) <= smx and abs(ty - ay) <= smy:
-                return True
-        return False
-
-    def rec(i, Vx, Vy, ndet):
+    def rec(i):
         if sol[0] is not None or time.time() > deadline:
             return
         if i == nvar:
@@ -334,85 +361,65 @@ def dfs_tables(T, walks, el_i, targets, A, Vp, sc, orb, deadline):
                 "g": {f"0,{s}": (0, 0) for s in orb}
                 | {f"{order[j][0]},{order[j][1]}": (gx[j], gy[j])
                    for j in range(nvar)},
-                "V": (Vx, Vy),
+                "V_note": "gauge-free (difference space)",
             }
             return
+        ax = aff[i]
+        dax = det_at[i]
         for vx, vy in cand[i]:
             gx[i], gy[i] = vx, vy
-            for n in aff[i]:
-                zx[n] += cox[n][i] * vx
-                zy[n] += coy[n][i] * vy
-            nVx, nVy = Vx, Vy
-            added = []
+            for n in ax:
+                zx[n] += dcox[n][i] * vx
+                zy[n] += dcoy[n][i] * vy
             ok = True
-            if Vx is None:
-                # V-free eye-difference pruning
-                ddx = zx[el_i] - zx[er_i]
-                ddy = zy[el_i] - zy[er_i]
-                sl = sufx[el_i][i + 1] + sufx[er_i][i + 1]
-                if abs(ddx - dx_t) > sl:
+            added = []
+            for n in dax:
+                p = wpart[n]
+                dt = (zx[n], zy[n])
+                if dt not in dtsets[p]:
                     ok = False
-                else:
-                    sl = sufy[el_i][i + 1] + sufy[er_i][i + 1]
-                    if abs(ddy - dy_t) > sl:
-                        ok = False
-                if ok and i == el_last:
-                    nVx, nVy = el_t[0] - zx[el_i], el_t[1] - zy[el_i]
-                    if ((nVx & 1) != vpx) or ((nVy & 1) != vpy):
-                        ok = False
-                    else:
-                        # validate every walk already determined
-                        for n2 in always_det:
-                            k2 = check_det(n2, nVx, nVy)
-                            if k2 is None:
-                                ok = False
-                                break
-                            added.append(k2)
-                        if ok:
-                            for j in range(i + 1):
-                                for n2 in det_at[j]:
-                                    k2 = check_det(n2, nVx, nVy)
-                                    if k2 is None:
-                                        ok = False
-                                        break
-                                    added.append(k2)
-                                if not ok:
-                                    break
-            else:
-                for n2 in det_at[i]:
-                    k2 = check_det(n2, nVx, nVy)
-                    if k2 is None:
+                    break
+                if wfinal[n] not in A[tpar[(p, dt)]]:
+                    ok = False
+                    break
+                key = (p, dt)
+                if key in used:
+                    ok = False
+                    break
+                used.add(key)
+                added.append(key)
+            if ok:
+                for n in ax:
+                    if last_var[n] == i:
+                        continue
+                    smx = dsufx[n][i + 1]
+                    smy = dsufy[n][i + 1]
+                    wx_, wy_ = zx[n], zy[n]
+                    hit = False
+                    for (dtx, dty) in dtargets[wpart[n]]:
+                        if abs(dtx - wx_) <= smx and abs(dty - wy_) <= smy:
+                            hit = True
+                            break
+                    if not hit:
                         ok = False
                         break
-                    added.append(k2)
-                if ok:
-                    for n2 in aff[i]:
-                        if last_var[n2] != i and not box_ok(n2, i + 1, nVx, nVy):
-                            ok = False
-                            break
             if ok:
-                rec(i + 1, nVx, nVy, ndet + len(added))
-            for k2 in added:
-                used.discard(k2)
-            for n in aff[i]:
-                zx[n] -= cox[n][i] * vx
-                zy[n] -= coy[n][i] * vy
+                rec(i + 1)
+            for key in added:
+                used.discard(key)
+            for n in ax:
+                zx[n] -= dcox[n][i] * vx
+                zy[n] -= dcoy[n][i] * vy
             if sol[0] is not None:
                 return
 
-    if el_last == -1:
-        Vx0, Vy0 = el_t
-        if ((Vx0 & 1) == vpx) and ((Vy0 & 1) == vpy):
-            ok0 = True
-            for n2 in always_det:
-                if check_det(n2, Vx0, Vy0) is None:
-                    ok0 = False
-                    break
-            if ok0:
-                rec(0, Vx0, Vy0, 0)
-            used.clear()
-    else:
-        rec(0, None, None, 0)
+    # walks with no free variables at all must match immediately
+    for n in always_det:
+        p = wpart[n]
+        dt = (0, 0) if n == el_i else (zx[n], zy[n])
+        if dt not in dtsets[p] or wfinal[n] not in A[tpar[(p, dt)]]:
+            return None
+    rec(0)
     return sol[0]
 
 
@@ -431,8 +438,8 @@ def sweep(mode, nworkers, per_cfg):
              for h in itertools.product(range(4), repeat=4)
              for pn in PREDS
              for sr in range(4)]
-    log_progress(f"anchor2 sweep start mode={mode} tasks={len(tasks)} "
-                 f"per_cfg={per_cfg}")
+    log_progress(f"anchor2 sweep start mode={mode} frame={FRAME} "
+                 f"tasks={len(tasks)} per_cfg={per_cfg}")
     t0 = time.time()
     nhit = ntimeout = 0
     with mp.Pool(nworkers) as pool:
@@ -527,7 +534,7 @@ def selftest():
                                 time.time() + 300, "func")
         assert sols, "selftest: planted config not recovered in mode func"
         print(f"selftest func PASS in {time.time()-t0:.1f}s "
-              f"({len(sols)} solutions, V={sols[0]['V']}, timeout={to})")
+              f"({len(sols)} solutions, V={sols[0].get('V_note')}, timeout={to})")
         t0 = time.time()
         sols2, to2 = solve_config((h, pred, s_root), _TARGETS3,
                                   time.time() + 120, "pos")
