@@ -96,6 +96,42 @@ FRAMES = [
     ((1, 0), (1, 1)),
     ((1, 1), (1, 0)),
     ((1, 0), (1, -1)),
+    # extended set (round-4 half-square discovery): the quintant's legs lie
+    # on the +-45-degree diagonals, so upstream KJ coordinates are plausibly
+    # the 45-degree rotated frame w = (x+y, x-y) — determinant 2 — or a
+    # shear-by-2.  8 unimodular entries<=2 reps + 23 |det|=2 reps, all
+    # modulo signed permutations.
+    ((-2, -1), (-1, -1)),
+    ((-2, -1), (-1, 0)),
+    ((-2, 1), (-1, 0)),
+    ((-2, 1), (-1, 1)),
+    ((-1, -2), (-1, -1)),
+    ((-1, -2), (0, -1)),
+    ((-1, 1), (-1, 2)),
+    ((-1, 2), (0, -1)),
+    ((-2, -2), (-2, -1)),
+    ((-2, -2), (-1, -2)),
+    ((-2, -2), (-1, 0)),
+    ((-2, -2), (0, -1)),
+    ((-2, -1), (-2, 0)),
+    ((-2, -1), (0, -1)),
+    ((-2, 0), (-2, 1)),
+    ((-2, 0), (-1, -1)),
+    ((-2, 0), (-1, 1)),
+    ((-2, 0), (0, -1)),
+    ((-2, 1), (-2, 2)),
+    ((-2, 1), (0, -1)),
+    ((-2, 2), (-1, 0)),
+    ((-2, 2), (-1, 2)),
+    ((-2, 2), (0, -1)),
+    ((-1, -2), (-1, 0)),
+    ((-1, -2), (0, -2)),
+    ((-1, -1), (-1, 1)),
+    ((-1, -1), (0, -2)),
+    ((-1, 0), (-1, 2)),
+    ((-1, 0), (0, -2)),
+    ((-1, 1), (0, -2)),
+    ((-1, 2), (0, -2)),
 ]
 FRAME = FRAMES[int(os.environ.get("ANCHOR2_FRAME", "0"))]
 
