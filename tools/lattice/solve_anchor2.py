@@ -61,7 +61,7 @@ PREDS = {
     "or": lambda s: ((s | (s >> 1)) & 1),
 }
 SCALES = [(2, 2), (-2, -2), (2, -2), (-2, 2)]
-GBOX = range(-2, 3)
+GBOX = range(-2, 3)  # overridden below once FRAME is known
 
 
 def digits_of(S, n=9):
@@ -134,6 +134,17 @@ FRAMES = [
     ((-1, 2), (0, -2)),
 ]
 FRAME = FRAMES[int(os.environ.get("ANCHOR2_FRAME", "0"))]
+# The table box is a hypothesis about UPSTREAM's own coordinates (the frame
+# maps extraction coords into upstream coords, where the +-2 box applies).
+# ANCHOR2_GBOX widens it as an explicit, separate degree of freedom.
+_GB = int(os.environ.get("ANCHOR2_GBOX", "2"))
+GBOX = range(-_GB, _GB + 1)
+# The corner pin g(0, digit-0 orbit) = 0 assumed the S=0 chain nests at the
+# quintant corner at EVERY level.  The res-27 doc golden refutes the strong
+# form: its S digits are 0 only down to res ~11, then 3001113002220311 — the
+# chain only APPROACHES the corner.  ANCHOR2_NOPIN=1 drops the pin and every
+# filter derived from it.
+NOPIN = os.environ.get("ANCHOR2_NOPIN", "0") == "1"
 
 
 def targets_for(parts, pmap):
@@ -242,7 +253,7 @@ def solve_config(task, targets3, deadline, mode):
         for A in A_list:
             # corner: parity (0,0) must be compatible with every corner state
             q0 = PIDX[(0, 0)]
-            if any(cs not in A[q0] for cs in corner_states):
+            if not NOPIN and any(cs not in A[q0] for cs in corner_states):
                 continue
             # Vp pins nothing when A is unconstrained (pos mode)
             for Vp in (range(1) if mode == "pos" else range(4)):
@@ -287,7 +298,7 @@ def dfs_tables(T, walks, el_i, targets, A, Vp, sc, orb, deadline):
     WY = [sy ** (NSUF - 1 - k) for k in range(NSUF)]
     vpx, vpy = Vp & 1, (Vp >> 1) & 1
 
-    pinned = {(0, s) for s in orb}
+    pinned = set() if NOPIN else {(0, s) for s in orb}
     use = Counter()
     for _, steps, _ in walks:
         for k in steps:

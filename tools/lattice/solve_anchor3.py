@@ -146,9 +146,12 @@ def solve_task(task, per_task, mode):
         corner_states.append(s)
         s = T[s][0]
     cflips = {cs & 3 for cs in corner_states}
-    if mode == "func" and len(cflips) != 1:
-        return task, [], False
-    corner_flip = next(iter(cflips)) if len(cflips) == 1 else None
+    if v2.NOPIN:
+        corner_flip = None
+    else:
+        if mode == "func" and len(cflips) != 1:
+            return task, [], False
+        corner_flip = next(iter(cflips)) if len(cflips) == 1 else None
 
     s_pref = s_root
     for d in PREFIX:

@@ -117,9 +117,12 @@ def solve_task(task, per_task):
     for _ in range(20):
         cflips.add(s & 3)
         s = T[s][0]
-    if len(cflips) != 1:
+    if v2.NOPIN:
+        corner_flip = None
+    elif len(cflips) != 1:
         return task, [], False
-    corner_flip = next(iter(cflips))
+    else:
+        corner_flip = next(iter(cflips))
 
     s_pref = s_root
     for d in PREFIX:
@@ -159,7 +162,7 @@ def solve_task(task, per_task):
                 wants.append(w)
             import solve_anchor3 as v3
             for pi in v3.feasible_pis(gotF, wants):
-                if pi[PIDX[(0, 0)]] != corner_flip:
+                if corner_flip is not None and pi[PIDX[(0, 0)]] != corner_flip:
                     continue
                 A = tuple(frozenset(s for s in range(NSTATE)
                                     if (s & 3) == pi[q])
