@@ -174,12 +174,15 @@ def digits_of(S, n=NDIG):
     return [(S >> (2 * (n - 1 - k))) & 3 for k in range(n)]
 
 
-def make_eval(maps):
+def make_eval(maps, maps_odd=None):
     """Vectorized digit extractor: points (N,2) in canonical coords ->
     digit arrays (N, NDIG).  Each level: find the child whose inverse map
     keeps the point inside the canonical triangle (with small tolerance),
-    descend."""
+    descend.  maps_odd, if given, is used at odd levels (level-alternating
+    curves, e.g. chirality-flipping Sierpinski)."""
     invs = [(np.linalg.inv(M), b) for (M, b) in maps]
+    invs_odd = (invs if maps_odd is None else
+                [(np.linalg.inv(M), b) for (M, b) in maps_odd])
 
     def inside(p, tol=1e-9):
         # canonical triangle: y >= -tol, y <= x + tol, y <= 1 - x + tol
@@ -194,7 +197,7 @@ def make_eval(maps):
         for lev in range(NDIG):
             assigned = np.zeros(n, dtype=bool)
             newp = p.copy()
-            for d, (Mi, b) in enumerate(invs):
+            for d, (Mi, b) in enumerate(invs if lev % 2 == 0 else invs_odd):
                 q = (p - b) @ Mi.T
                 ok = alive & ~assigned & inside(q)
                 digs[ok, lev] = d
@@ -278,27 +281,56 @@ ORIENTS = [(sx, sy, sw) for sx in (1, -1) for sy in (1, -1)
            for sw in (False, True)]
 
 
-def eye_V_region(maps, S_eye):
+RV = (np.array([[-1.0, 0.0], [0.0, 1.0]]), np.array([1.0, 0.0]))
+
+
+def mirror_maps(maps):
+    """Conjugate every child map by the vertical-axis reflection of the
+    canonical triangle (x -> 1-x)."""
+    Mv, bv = RV
+    out = []
+    for (M, b) in maps:
+        M2 = Mv @ M @ Mv
+        b2 = Mv @ (M @ bv + b) + bv
+        out.append((M2, b2))
+    return out
+
+
+def derive_odd(maps, alt):
+    if alt == "none":
+        return None
+    if alt == "mirror":
+        return mirror_maps(maps)
+    if alt == "rev":
+        return maps[::-1]
+    if alt == "mirrorrev":
+        return mirror_maps(maps)[::-1]
+    raise ValueError(alt)
+
+
+def eye_V_region(maps, S_eye, maps_odd=None):
     """Compose the child maps along the eye's 9-digit path; return the
     image triangle of the canonical domain (in canonical units).  The eye's
     position must lie inside it, which pins V to a ~2-anchor-unit region."""
+    mo = maps if maps_odd is None else maps_odd
     M = np.eye(2)
     b = np.zeros(2)
-    for d in digits_of(S_eye):
-        Md, bd = maps[d]
+    for lev, d in enumerate(digits_of(S_eye)):
+        Md, bd = (maps if lev % 2 == 0 else mo)[d]
         b = M @ bd + b
         M = M @ Md
     return [M @ v + b for v in (E, X, AP)]
 
 
 def solve_variant(args):
-    (family, vi, pm_idx, step, mode) = args
+    (family, vi, pm_idx, step, mode, alt) = args
     maps = _VARIANTS[(family)][vi]
-    run = make_eval(maps)
+    maps_odd = derive_odd(maps, alt)
+    run = make_eval(maps, maps_odd)
     parts, anchors = corpus_z(PARITY_MAPS[pm_idx], mode)
     hits = []
     el = next(a for a in anchors if a[0] == "eye_left")
-    tri = eye_V_region(maps, el[1])
+    tri = eye_V_region(maps, el[1], maps_odd)
     txs = [v[0] for v in tri]
     tys = [v[1] for v in tri]
     for orient in ORIENTS:
@@ -318,7 +350,7 @@ def solve_variant(args):
                 if eval_variant(run, parts, anchors, Vx + 1e-4, Vy + 1e-4,
                                 orient):
                     hits.append({"family": family, "variant": vi,
-                                 "pm": pm_idx, "mode": mode,
+                                 "pm": pm_idx, "mode": mode, "alt": alt,
                                  "orient": orient,
                                  "V": (float(Vx), float(Vy))})
     return args, hits
@@ -333,10 +365,12 @@ def sweep(nworkers, family=None):
     for fam in fams:
         _VARIANTS[fam] = variants_with_orders(fam, require_continuity=False)
         log_progress(f"family {fam}: {len(_VARIANTS[fam])} variants")
+        alts = os.environ.get("GEOM_ALTS", "none").split(",")
         for vi in range(len(_VARIANTS[fam])):
-            tasks.append((fam, vi, 0, 0.0625, "centroid"))
-            for pm_idx in range(3):
-                tasks.append((fam, vi, pm_idx, 0.0625, "anchor"))
+            for alt in alts:
+                tasks.append((fam, vi, 0, 0.0625, "centroid", alt))
+                for pm_idx in range(3):
+                    tasks.append((fam, vi, pm_idx, 0.0625, "anchor", alt))
     log_progress(f"geom sweep start tasks={len(tasks)}")
     t0 = time.time()
     nhit = 0
