@@ -47,8 +47,26 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     )
     A.register(spark)
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t == "embeddings":
+            # record the embedding width as column metadata (footer-side
+            # pyarrow peek, NOT a Spark job) so no ANN operator ever runs a
+            # one-row dimension-probe job (round-4 ADVICE #7)
+            from a5pg_spark.operators.similarity import with_dim_metadata
+
+            df = with_dim_metadata(df, "embedding", _peek_embedding_dim(sf_dir))
+        df.createOrReplaceTempView(t)
     _REGISTERED.add(key)
+
+
+def _peek_embedding_dim(sf_dir: str) -> int:
+    """Embedding width from ONE parquet value via pyarrow (driver-local, ~ms;
+    the list width is not in the footer schema, so read a single row)."""
+    import pyarrow.parquet as pa_pq
+
+    pf = pa_pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(batch.column(0)[0])
 
 
 # deterministic capture-point derivation (identical text in both dialects)

@@ -53,6 +53,35 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
     )
 
 
+def embedding_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Embedding width from column metadata (attach with
+    :func:`with_dim_metadata` at load time), or ``None`` if absent."""
+    try:
+        md = df.schema[vec_col].metadata
+    except KeyError:
+        return None
+    return int(md["dim"]) if md and "dim" in md else None
+
+
+def with_dim_metadata(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Record the embedding width on the column so ANN operators never have
+    to run a one-row probe job (schema-level plumbing; zero data movement)."""
+    return df.withColumn(
+        vec_col, F.col(vec_col).alias(vec_col, metadata={"dim": int(dim)})
+    )
+
+
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """dim precedence: explicit arg > column metadata > one-row probe job.
+    The probe is the last resort only — production loaders attach metadata."""
+    if dim is not None:
+        return int(dim)
+    md = embedding_dim(df, vec_col)
+    if md is not None:
+        return md
+    return int(df.select(F.size(F.col(vec_col)).alias("d")).first().d)
+
+
 def _srp_planes(dim: int, planes: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((dim, planes))
@@ -66,9 +95,7 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding", planes: int = 16,
     dimension-probe driver job (round-3 ADVICE: no ``.first()`` in ANN
     plans when the caller knows the embedding width)."""
     spark = df.sparkSession
-    if dim is None:
-        # probe dimension from one row (planes must be deterministic per session)
-        dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first().d)
+    dim = _resolve_dim(df, vec_col, dim)
     P = _srp_planes(dim, planes, seed)
     bc = spark.sparkContext.broadcast(P)
 
@@ -91,8 +118,7 @@ def srp_buckets_all(df: DataFrame, vec_col: str, planes: int, tables: int,
     table (round 1 scanned the corpus once per table).  Pass ``dim`` to skip
     the one-row dimension-probe driver job."""
     spark = df.sparkSession
-    if dim is None:
-        dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first().d)
+    dim = _resolve_dim(df, vec_col, dim)
     P = np.concatenate(
         [_srp_planes(dim, planes, seed + t) for t in range(tables)], axis=1
     )  # (dim, tables*planes)
@@ -121,9 +147,8 @@ def srp_ann_topk(queries: DataFrame, corpus: DataFrame, k: int,
     per side (all buckets from one matmul, exploded with a table tag), one
     equi-join on the tagged bucket, exact cosine rank within candidates.
     The join is broadcastable/AQE-skew-splittable at scale."""
-    if dim is None:
-        # one probe shared by both sides (queries are the small side)
-        dim = int(queries.select(F.size(F.col(qvec)).alias("d")).first().d)
+    # one resolution shared by both sides (queries are the small side)
+    dim = _resolve_dim(queries, qvec, dim)
     qb = srp_buckets_all(queries, qvec, planes, tables, seed, dim=dim)
     cb = srp_buckets_all(corpus, cvec, planes, tables, seed, dim=dim)
     cand = (

@@ -70,16 +70,11 @@ def test_classes_are_axis_reflections(lattice):
 def test_pentagon_is_equilateral_with_a5_angles(lattice):
     P = lattice["shapes"][0]
     E = np.roll(P, -1, axis=0) - P
-    # solve the lattice aspect ratio that makes all five edges equal
-    rhos = np.linspace(0.5, 3.0, 25001)
-    l2 = E[None, :, 0] ** 2 + (rhos[:, None] ** 2) * E[None, :, 1] ** 2
-    ln = np.sqrt(l2)
-    spread = (ln.max(1) - ln.min(1)) / ln.mean(1)
-    i = spread.argmin()
-    rho = rhos[i]
-    assert spread[i] < 1e-3, "pentagon is not equilateral under any aspect"
-    # the aspect is tan(54 deg) — the A5 lattice constant
-    assert abs(rho - np.tan(np.radians(54))) < 2e-3
+    # assert equilaterality directly at the A5 lattice aspect rho = tan(54 deg)
+    rho = np.tan(np.radians(54))
+    ln = np.sqrt(E[:, 0] ** 2 + (rho ** 2) * E[:, 1] ** 2)
+    spread = (ln.max() - ln.min()) / ln.mean()
+    assert spread < 1e-3, "pentagon is not equilateral at rho = tan(54 deg)"
     # interior angles match the public A5 pentagon (sorted, degrees)
     Pp = P * np.array([1.0, rho])
     Ep = np.roll(Pp, -1, axis=0) - Pp

@@ -234,3 +234,29 @@ def test_rasterize_cells_plans_and_runs_bounded(spark, sf_dir):
     assert row.n_pixels == 96 * 64
     assert 0 < row.covered_pixels <= row.n_pixels
     assert row.total_hits > 0
+
+
+def test_ann_paths_never_probe_dimension(spark, sf_dir, monkeypatch):
+    """Round-4 ADVICE #7: with the embedding width recorded as column
+    metadata at load time, NO ANN entrypoint may run a one-row ``.first()``
+    dimension-probe driver job — assert by making any .first() call blow up."""
+    import __spark_entry__ as E
+    from a5pg_spark.operators import similarity as S
+
+    E._prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    assert S.embedding_dim(emb, "embedding") == 64
+
+    from pyspark.sql import DataFrame
+
+    def _no_probe(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("ANN path ran a .first() dimension probe")
+
+    monkeypatch.setattr(DataFrame, "first", _no_probe)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    # plan construction is where the probe used to fire; executing one row
+    # group proves the plan is also probe-free end to end
+    out = S.srp_ann_topk(q, emb, k=2, planes=6, tables=2)
+    assert out.count() >= 0
+    S.srp_bucket(emb, "embedding").limit(1).collect()

@@ -8,11 +8,13 @@ from __future__ import annotations
 
 import csv
 import json
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# anchor the repo root from this file's location so imports work from any cwd
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..")))
 from a5pg_spark.core.dodecahedron import FACE_ROT  # noqa: E402
 from a5pg_spark.core.projection import lonlat_to_xyz, nearest_face  # noqa: E402
 

@@ -47,6 +47,7 @@ def leg(cpus: int) -> float | None:
 
 
 def main() -> None:
+    session = time.strftime("%F %T")  # distinguishes invocations in the log
     legs = []
     for pair_i in range(MAX_PAIRS):
         for cpus in (8, 32):
@@ -66,7 +67,7 @@ def main() -> None:
             probes = [a["probe_before"], a["probe_after"],
                       b["probe_before"], b["probe_after"]]
             clean = all(p <= QUIET for p in probes)
-            summary = {"pair": pair_i, "eff": round(eff, 3),
+            summary = {"session": session, "pair": pair_i, "eff": round(eff, 3),
                        "thpt8": a["thpt"], "thpt32": b["thpt"],
                        "probes": probes, "clean_window": clean}
             with open(LOG, "a") as fh:
