@@ -129,3 +129,153 @@ def test_anchor_adjacency_is_grid_plus_parity_diagonal(lattice):
         diag = (2 * py - 1, 2 * px - 1)
         want = {(1, 0), (-1, 0), (0, 1), (0, -1), diag}
         assert neighbours[c] == want, (c, neighbours[c])
+
+
+def test_dissolve_ring_geometry_matches_reference_union(lattice):
+    """Round-4 VERDICT #6: pin the reference dissolve artifact's ring
+    GEOMETRY (not only counts) against the reconstructed pentagon lattice.
+
+    Both sides are normalised through the same planar-union operator in
+    lattice uv coordinates: snap vertices, cancel opposite directed edges,
+    trace boundary loops (non-crossing split at pinch vertices), split into
+    simple cycles.  This is necessary because the golden GeoJSON carries
+    GEOS seam artifacts that a single-plane reconstruction cannot (and
+    should not) reproduce literally:
+
+    - pairs of pentagons sharing a bit-identical lon/lat edge kept UNMERGED
+      (the edge bows differently under the two adjacent faces' gnomonic
+      projections, leaving a sliver, so ST_Union keeps both polygons);
+    - zero-area spikes to mid-edge seam T-nodes (ear_left ring 25);
+    - consecutive duplicate vertices and self-touching pinch rings.
+
+    Under the shared normalisation, spikes and duplicates self-cancel and
+    seam pairs merge identically on both sides; the assertion is then an
+    EXACT multiset equality of canonical boundary cycles per part.
+    """
+    import json
+
+    V, pents = lattice["shapes"], lattice["pents"]
+    to_uv, gnom = lattice["to_uv"], lattice["gnom"]
+    fc = json.load(open(
+        "/root/reference/tests/elephant_cells_union_per_part.geojson"))
+    golden = {}
+    for f in fc["features"]:
+        part = f["properties"]["part"]
+        assert all(len(poly) == 1 for poly in f["geometry"]["coordinates"]), \
+            "golden polygons are hole-free"
+        golden.setdefault(part, []).extend(
+            np.array(poly[0])[:-1] for poly in f["geometry"]["coordinates"])
+
+    TOL = 6e-3
+
+    def shoelace(P):
+        x, y = P[:, 0], P[:, 1]
+        return 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+
+    def union_cycles(rings_uv, part):
+        """Planar union in uv: snap -> cancel opposite edges -> trace ->
+        simple cycles.  rings_uv: list of (n,2) CCW-normalised rings."""
+        # snap vertices within TOL to shared ids
+        reps: list[np.ndarray] = []
+        ring_ids = []
+        for r in rings_uv:
+            ids = []
+            for p in r:
+                for k, q in enumerate(reps):
+                    if abs(p[0] - q[0]) < TOL and abs(p[1] - q[1]) < TOL:
+                        ids.append(k)
+                        break
+                else:
+                    reps.append(p)
+                    ids.append(len(reps) - 1)
+            ring_ids.append(ids)
+        rp = np.array(reps)
+        # directed edge cancellation (self-loops from consecutive dups drop)
+        edges = {}
+        for ids in ring_ids:
+            for a, b in zip(ids, ids[1:] + ids[:1]):
+                if a == b:
+                    continue
+                if (b, a) in edges:
+                    del edges[(b, a)]
+                else:
+                    assert (a, b) not in edges, (part, "non-manifold edge")
+                    edges[(a, b)] = True
+        out_edges = {}
+        for a, b in edges:
+            out_edges.setdefault(a, []).append(b)
+
+        def next_vertex(u, v):
+            cands = [w for w in out_edges[v] if (v, w) in edges]
+            if len(cands) == 1:
+                return cands[0]
+            din = rp[v] - rp[u]
+            ain = np.arctan2(din[1], din[0])
+
+            def turn(w):
+                d = rp[w] - rp[v]
+                return (np.arctan2(d[1], d[0]) - ain + np.pi) % (2 * np.pi)
+
+            # widest same-orientation turn -> the non-crossing decomposition
+            return max(cands, key=turn)
+
+        loops = []
+        unused = set(edges)
+        while unused:
+            a0, b0 = next(iter(unused))
+            cyc = [a0]
+            u, v = a0, b0
+            unused.discard((a0, b0))
+            while v != a0:
+                cyc.append(v)
+                w = next_vertex(u, v)
+                unused.discard((v, w))
+                u, v = v, w
+            loops.append(cyc)
+        # split self-touching loops at repeated vertices into simple cycles
+        cycles = []
+        stack = list(loops)
+        while stack:
+            c = stack.pop()
+            seen, dup = {}, None
+            for i, v in enumerate(c):
+                if v in seen:
+                    dup = (seen[v], i)
+                    break
+                seen[v] = i
+            if dup is None:
+                assert len(c) >= 3, (part, "degenerate cycle", c)
+                cycles.append(c)
+                continue
+            i, j = dup
+            for piece in (c[i:j], c[:i] + c[j:]):
+                if len(piece) >= 3:
+                    stack.append(piece)
+        # canonical form: coordinates (rounded), min over rotation+reversal
+        out = []
+        for c in cycles:
+            pts = [tuple(np.round(rp[k], 3)) for k in c]
+            best = None
+            for seq in (pts, pts[::-1]):
+                for r in range(len(seq)):
+                    t = tuple(seq[r:] + seq[:r])
+                    if best is None or t < best:
+                        best = t
+            out.append(best)
+        return sorted(out)
+
+    for part, plist in pents.items():
+        mine_rings = [V[c] + np.array([i, j]) for (i, j, c) in plist]
+        gold_rings = []
+        for r in golden[part]:
+            uv = to_uv(gnom(r))
+            if shoelace(uv) < 0:
+                uv = uv[::-1]
+            gold_rings.append(uv)
+        mine = union_cycles(mine_rings, part)
+        gold = union_cycles(gold_rings, part)
+        assert len(mine) == len(gold), (part, len(mine), len(gold))
+        for cm, cg in zip(mine, gold):
+            assert len(cm) == len(cg), (part, cm, cg)
+            assert np.abs(np.array(cm) - np.array(cg)).max() < 2 * TOL, (
+                part, cm, cg)
