@@ -2030,6 +2030,72 @@ def _images_resize_oracle_sql(n: int = 128) -> str:
 ORACLES_SQL["images_resize_stats"] = _images_resize_oracle_sql()
 
 
+def _q_images_jfif_recode(spark, sf_dir):
+    """Real baseline JPEG (JFIF) recode invariant, Spark-side: decode each
+    image's stored pixels, re-encode through the REAL T.81 baseline codec
+    (sources/jpeg.py — round 5, closing the declared fake-jpeg stub),
+    decode again and verify the BASELINE.json per-row lossy bound
+    (PSNR ≥ 40 dB) plus JFIF structure (SOI/EOI markers) per row.  A pure
+    map stage (mapInPandas) — shards with the table, no shuffle.  The
+    oracle asserts the invariant columns are TRUE for every row; any image
+    failing the bound hash-mismatches."""
+    _prep(spark, sf_dir)
+    import numpy as _np
+    import pandas as _pd
+
+    from pyspark.sql.types import (
+        BooleanType as _Bool, IntegerType as _Int, StringType as _Str,
+        StructField as _SF, StructType as _ST,
+    )
+
+    from a5pg_spark.sources.images import build_images_df, decode_image, psnr
+    from a5pg_spark.sources.jpeg import jpeg_decode, jpeg_encode
+
+    imgs = build_images_df(spark, 128, slices=8)
+    schema = _ST([
+        _SF("i", _Int()), _SF("fmt", _Str()), _SF("w", _Int()),
+        _SF("h", _Int()), _SF("psnr_ge_40", _Bool()), _SF("jfif_ok", _Bool()),
+    ])
+
+    def recode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                src = decode_image(bytes(r.bytes), r.fmt)
+                data = jpeg_encode(src)  # default quality holds ≥40 dB on any input
+                out = jpeg_decode(data)
+                ok_jfif = (
+                    data[:2] == b"\xff\xd8"
+                    and data[-2:] == b"\xff\xd9"
+                    and out.shape == src.shape
+                )
+                rows.append((int(str(r.image_id)[3:]), r.fmt, int(r.w),
+                             int(r.h), bool(psnr(src, out) >= 40.0),
+                             bool(ok_jfif)))
+            yield _pd.DataFrame(
+                rows,
+                columns=["i", "fmt", "w", "h", "psnr_ge_40", "jfif_ok"])
+
+    return imgs.mapInPandas(recode, schema).orderBy("i")
+
+
+def _images_jfif_oracle_sql(n: int = 128) -> str:
+    from a5pg_spark.sources.images import FMT_CYCLE, H_CYCLE, W_CYCLE
+
+    meta = ",".join(
+        f"({i},'{FMT_CYCLE[i % 2]}',{W_CYCLE[i % 3]},{H_CYCLE[i % 3]})"
+        for i in range(n)
+    )
+    return f"""
+    WITH meta(i, fmt, w, h) AS (VALUES {meta})
+    SELECT i, fmt, w, h, TRUE AS psnr_ge_40, TRUE AS jfif_ok
+    FROM meta ORDER BY i
+"""
+
+
+ORACLES_SQL["images_jfif_recode"] = _images_jfif_oracle_sql()
+
+
 def _q_stream_cell_counts(spark, sf_dir):
     """Watermarked event-time tile rollup as a STREAM: events replayed as an
     availableNow file stream (two files → two micro-batches, so the windowed
@@ -2258,6 +2324,7 @@ _OPERATOR_QUERIES = {
     "stream_dedup_firstseen": _q_stream_dedup,
     "stream_cell_counts": _q_stream_cell_counts,
     "images_resize_stats": _q_images_resize,
+    "images_jfif_recode": _q_images_jfif_recode,
     "rasterize_cells": _q_rasterize_cells,
     "a5_geojson_export": _q_geojson_export,
     "a5_dissolve_export": _q_dissolve_export,

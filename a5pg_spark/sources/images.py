@@ -7,11 +7,14 @@ Schema (exact ``input_hint`` shape from BASELINE.json):
 
 * **png**: a real, spec-conformant grayscale 8-bit PNG (zlib is stdlib) —
   lossless, decoded pixels must match exactly.
-* **jpeg**: STUB — this container has no image libraries, so "jpeg" is a
-  deterministic fake lossy codec (magic ``FJPG``, pixels quantized to
-  multiples of 4 → PSNR ≈ 42 dB, above the ≥ 40 dB invariant).  The Spark
-  plumbing (binary column, batch decode, schema) is real and is what a real
-  libjpeg hookup would reuse.
+* **jpeg**: REAL baseline JFIF codec in :mod:`.jpeg` (ITU-T T.81 baseline
+  sequential, Annex K tables, pure NumPy/stdlib — round 5, closing the
+  last codec stub).  ``decode_image(fmt="jpeg")`` sniffs the payload
+  magic: ``FFD8`` → the real decoder; ``FJPG`` → the legacy deterministic
+  stub (pixels quantized to multiples of 4, PSNR ≈ 42 dB).  The synthetic
+  table keeps FJPG payloads under fmt='jpeg' ONLY because its closed-form
+  loss ``(v//4)*4+2`` is replicated in DuckDB oracle SQL
+  (__spark_entry__.py); real JPEG loss has no SQL closed form.
 
 Capture point derivation (the table carries no lon/lat — BASELINE.json):
     lon = pmod(phash, 360000000)/1e6 − 180
@@ -222,11 +225,14 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return bmp_decode(data)
     if fmt == "dct":
         return dct_decode(data)
-    if fmt == "jpeg":
+    if fmt in ("jpeg", "jpg", "jfif"):
+        if data[:2] == b"\xff\xd8":  # real JPEG (SOI marker)
+            from .jpeg import jpeg_decode
+
+            return jpeg_decode(data)
         return fake_jpeg_decode(data)
     raise NotImplementedError(
-        f"format {fmt!r}: real image libraries are unavailable in this "
-        "container; wire png_decode/dct_encode-style codecs here"
+        f"format {fmt!r}: wire png_decode/jpeg_decode-style codecs here"
     )
 
 
