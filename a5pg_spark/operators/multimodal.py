@@ -64,6 +64,11 @@ def resize_images(images: DataFrame, out_w: int, out_h: int,
                 for r in pdf.itertuples():
                     img = decode_image(bytes(r.bytes), r.fmt)
                     rs = _nn_resize(img, out_h, out_w)
+                    # 'jpeg' rows re-encode through the FJPG stub on purpose:
+                    # its closed-form loss (v//4)*4+2 is replicated in the
+                    # images_resize_stats DuckDB oracle SQL; the REAL baseline
+                    # JPEG codec (sources/jpeg.py) is exercised by
+                    # images_jfif_recode instead.
                     enc = png_encode(rs) if r.fmt == "png" else fake_jpeg_encode(rs)
                     out_bytes.append(enc)
                 yield pd.DataFrame(

@@ -151,10 +151,19 @@ class _BitWriter:
                 self.out.append(0x00)
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per F.1.2.3
+
+    def put_marker(self, marker: int) -> None:
+        """Byte-align and emit a bare marker (e.g. RSTn) — markers are not
+        byte-stuffed (B.1.1.2)."""
+        self.pad_to_byte()
+        self.out += bytes((0xFF, marker))
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -174,13 +183,20 @@ def _amplitude(v: int, ssss: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
+def jpeg_encode(
+    img: np.ndarray, quality: int = 95, restart_interval: int = 0
+) -> bytes:
     """Baseline sequential JFIF, one grayscale component, Annex K tables.
 
     Default quality 95: measured ≥ 42 dB PSNR even on uniform-noise input
     (the worst case for transform coding), so the BASELINE.json per-row
     invariant (PSNR ≥ 40 dB for lossy) holds for ANY uint8 payload, not
-    just smooth ones."""
+    just smooth ones.
+
+    ``restart_interval`` > 0 emits a DRI segment and RST0–7 markers every
+    that many MCUs (B.2.4.4 / E.2.4) — what a parallel or error-resilient
+    encoder produces; mainly here so the decoder's restart path is
+    exercised by our own output."""
     assert img.ndim == 2 and img.dtype == np.uint8
     h, w = img.shape
     assert 0 < h <= 0xFFFF and 0 < w <= 0xFFFF
@@ -201,7 +217,10 @@ def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
     # entropy stage
     bw = _BitWriter()
     prev_dc = 0
-    for blk in zz:
+    for bi, blk in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.put_marker(0xD0 + (bi // restart_interval - 1) % 8)
+            prev_dc = 0  # DC predictor resets at every restart (E.2.4)
         diff = int(blk[0]) - prev_dc
         prev_dc = int(blk[0])
         ssss = _category(diff)
@@ -241,6 +260,8 @@ def jpeg_encode(img: np.ndarray, quality: int = 95) -> bytes:
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += seg(0xFFC4, bytes([0x00]) + bytes(DC_BITS) + bytes(DC_VALS))
     out += seg(0xFFC4, bytes([0x10]) + bytes(AC_BITS) + bytes(AC_VALS))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -290,6 +311,19 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
+    def sync_restart(self) -> None:
+        """Consume an expected RSTn: drop pad bits (≤7 real + any marker
+        padding _fill speculatively fed), byte-align on the marker, skip it."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and (
+            0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected RST marker at restart interval")
+
 
 def _decode_tree(bits: list, vals: list) -> dict:
     """(length, code) → symbol, for decode-by-extension."""
@@ -328,6 +362,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     htrees = {}
     h = w = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     while pos < len(data):
         assert data[pos] == 0xFF, "marker expected"
         marker = data[pos + 1]
@@ -355,6 +390,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17 : i + 17 + n])
                 htrees[(tc, th)] = _decode_tree(bits, vals)
                 i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xC0:  # SOF0 baseline
             depth, h, w, nc = struct.unpack(">BHHB", body[:6])
             assert depth == 8 and nc == 1, "only 8-bit grayscale supported"
@@ -379,6 +416,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     br = _BitReader(data, pos)
     prev_dc = 0
     for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            br.sync_restart()
+            prev_dc = 0
         ssss = _read_symbol(br, dc_tree)
         diff = _extend(br.read(ssss), ssss) if ssss else 0
         prev_dc += diff

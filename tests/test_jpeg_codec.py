@@ -72,6 +72,30 @@ class TestRoundtrip:
         assert psnrs == sorted(psnrs)
 
 
+class TestPropertyBased:
+    def test_arbitrary_images_hold_invariants(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            arrays(
+                np.uint8,
+                st.tuples(st.integers(1, 40), st.integers(1, 40)),
+                elements=st.integers(0, 255),
+            ),
+            st.integers(0, 6),
+        )
+        def check(img, ri):
+            data = J.jpeg_encode(img, restart_interval=ri)
+            out = J.jpeg_decode(data)
+            assert out.shape == img.shape
+            assert I.psnr(img, out) >= 40.0
+
+        check()
+
+
 class TestSpecConformance:
     def test_marker_grammar(self):
         img = _images()["gradient"]
@@ -170,6 +194,21 @@ class TestIntegration:
         out_fake = I.decode_image(fake, "jpeg")
         assert I.psnr(img, out_real) >= 40.0
         assert np.array_equal(out_fake, I.fake_jpeg_decode(fake))
+
+    def test_restart_markers_roundtrip(self):
+        # DRI/RSTn (T.81 B.2.4.4 / E.2.4): same pixels out, DC predictor
+        # reset at every interval, markers byte-aligned and unstuffed
+        img = _images()["gradient"]
+        base = J.jpeg_decode(J.jpeg_encode(img, 90))
+        for ri in (1, 2, 5):
+            data = J.jpeg_encode(img, 90, restart_interval=ri)
+            assert b"\xff\xdd" in data  # DRI segment present
+            nblocks = (48 // 8) * (64 // 8)
+            n_rst = sum(
+                data.count(bytes((0xFF, 0xD0 + m))) for m in range(8)
+            )
+            assert n_rst == (nblocks - 1) // ri
+            assert np.array_equal(J.jpeg_decode(data), base), ri
 
     def test_decoder_rejects_progressive(self):
         img = np.zeros((8, 8), np.uint8)

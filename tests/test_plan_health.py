@@ -260,3 +260,27 @@ def test_ann_paths_never_probe_dimension(spark, sf_dir, monkeypatch):
     out = S.srp_ann_topk(q, emb, k=2, planes=6, tables=2)
     assert out.count() >= 0
     S.srp_bucket(emb, "embedding").limit(1).collect()
+
+
+def test_jfif_recode_is_pure_map_before_sort(spark, sf_dir):
+    """images_jfif_recode (round 5) must stay a pure map stage: scan →
+    mapInPandas → final orderBy.  Exactly one Exchange (the terminal sort's
+    range partitioning) and exactly one Python stage may appear — a second
+    Exchange would mean the recode shuffles pixel bytes, which must never
+    happen at 100 TB."""
+    import __spark_entry__ as E
+
+    df = E.queries()["images_jfif_recode"](spark, sf_dir)
+    plan = _physical(df)
+    lines = plan.splitlines()
+    py = [i for i, ln in enumerate(lines) if "MapInPandas" in ln]
+    # exactly two Python stages: the synthetic-source generator and recode
+    assert len(py) == 2, plan
+    # recode consumes the generator's output DIRECTLY — no Exchange between
+    assert not any("Exchange" in ln for ln in lines[py[0] + 1 : py[1]]), plan
+    # the only exchanges are the source's metadata-row repartition (8 (lo,hi)
+    # slice rows) and the terminal orderBy — pixel bytes never shuffle
+    assert plan.count("Exchange") == 2, plan
+    rows = df.collect()
+    assert len(rows) == 128
+    assert all(r.psnr_ge_40 and r.jfif_ok for r in rows)
