@@ -1318,6 +1318,81 @@ def _q_text_annotate(spark, sf_dir):
     ).orderBy("source")
 
 
+def _q_text_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the brief's 'document fingerprinting (rolling hash)' ask done properly):
+    rolling k=3 token-gram polynomial hashes, minimum of every w=4 window,
+    distinct minima as the fingerprint set.  Entirely JVM-side Catalyst
+    HOFs (operators/text.py:winnow_fingerprints_col) — no Python, no
+    shuffle before the final per-doc fold; the portable 31-bit hash family
+    replays exactly in the DuckDB oracle (order-insensitive aggregates of
+    the set: count/sum/min/max)."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.text import winnow_fingerprints_col
+
+    fps = spark.table("documents").select(
+        "doc_id", winnow_fingerprints_col("text").alias("fps")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.expr("aggregate(fps, 0L, (a, x) -> a + x)").alias("fp_sum"),
+        F.coalesce(F.array_min("fps"), F.lit(-1)).cast("long").alias("fp_min"),
+        F.coalesce(F.array_max("fps"), F.lit(-1)).cast("long").alias("fp_max"),
+    ).orderBy("doc_id")
+
+
+# DuckDB replica of winnow_fingerprints_col(k=3, w=4): same tokenization,
+# same portable token hash (acc*131+code mod 2^31, as the simhash oracle),
+# same gram fold (acc*1000003+h mod 2^31), same window minima + distinct.
+ORACLES_SQL["text_winnow_fingerprint"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> length(t) > 0) AS ts
+  FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(ts, t ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''),
+                              c -> CAST(ord(c) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 2147483648)) AS hv
+  FROM toks
+),
+gr AS (
+  SELECT doc_id,
+         CASE WHEN length(hv) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_transform(range(1, greatest(1, length(hv) - 2) + 1),
+                i -> list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    list_slice(hv, i, i + 2)),
+                       (acc, h) -> (acc * 1000003 + h) % 2147483648))
+         END AS grams
+  FROM hs
+),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN length(grams) = 0 THEN CAST([] AS BIGINT[])
+              ELSE list_distinct(list_transform(
+                     range(1, greatest(1, length(grams) - 3) + 1),
+                     j -> list_aggregate(list_slice(grams, j, j + 3), 'min')))
+         END AS fps
+  FROM gr
+)
+SELECT doc_id,
+       CAST(length(fps) AS BIGINT) AS n_fp,
+       CAST(coalesce(list_sum(fps), 0) AS BIGINT) AS fp_sum,
+       CAST(coalesce(list_aggregate(fps, 'min'), -1) AS BIGINT) AS fp_min,
+       CAST(coalesce(list_aggregate(fps, 'max'), -1) AS BIGINT) AS fp_max
+FROM fp ORDER BY doc_id
+"""
+
+
 def _q_embed_ann_srp(spark, sf_dir):
     """SRP-LSH approximate NN (random projections — rows-only check;
     recall vs brute force asserted in pytest)."""
@@ -2335,6 +2410,7 @@ _OPERATOR_QUERIES = {
     "dedup_simhash_pairs": _q_dedup_simhash,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "text_annotate_agg": _q_text_annotate,
+    "text_winnow_fingerprint": _q_text_winnow,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
     "dedup_embedding_pairs": _q_embed_near_dup,

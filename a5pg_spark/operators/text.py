@@ -88,6 +88,51 @@ def fingerprint_col(text_col: str) -> F.Column:
     )
 
 
+def winnow_fingerprints_col(text_col: str, k: int = 3, w: int = 4) -> F.Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+    rolling k-gram hashes over the token stream, then the minimum of every
+    w-window of gram hashes; the DISTINCT window minima are the document's
+    fingerprint set.  Guarantee: any shared token run of length ≥ k+w−1
+    between two documents shares at least one fingerprint.
+
+    Entirely JVM-side Catalyst higher-order functions — no Python, no
+    shuffle; per-row bounded work, shards with the table at 100 TB.  Hashes
+    are the repo's portable 31-bit polynomial family (token: acc·131+code
+    mod 2³¹; gram: acc·1000003+tokenhash mod 2³¹) so the whole pipeline
+    replays exactly in ANSI SQL (driver oracle).  Each stage is let-bound
+    via a single-element ``transform(array(·), x -> …)`` wrapper so the
+    generated expression stays LINEAR in size instead of exploding when
+    Catalyst inlines collapsed projections.
+
+    Short documents: with 0 < n_grams < w the whole gram list forms one
+    window (the paper's boundary case); an empty token list yields an
+    empty fingerprint set.
+    """
+    toks = (
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), t -> length(t) > 0)"
+    )
+    hv = (
+        f"transform({toks}, t -> aggregate(split(t, ''), 0L, "
+        "(acc, c) -> (acc * 131 + ascii(c)) % 2147483648))"
+    )
+    grams = (
+        f"transform(sequence(1, greatest(1, size(hv) - {k} + 1)), "
+        f"i -> aggregate(slice(hv, i, {k}), 0L, "
+        "(acc, h) -> (acc * 1000003 + h) % 2147483648))"
+    )
+    mins = (
+        f"array_distinct(transform(sequence(1, greatest(1, size(gr) - {w} + 1)), "
+        f"j -> array_min(slice(gr, j, {w}))))"
+    )
+    return F.expr(
+        f"element_at(transform(array({hv}), hv -> "
+        "  CASE WHEN size(hv) = 0 THEN array() "
+        f" ELSE element_at(transform(array({grams}), gr -> {mins}), 1) END"
+        "), 1)"
+    )
+
+
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis feature set."""
     return (

@@ -287,6 +287,49 @@ class TestText:
         n = df.select(text.subword_count("text").alias("n")).first().n
         assert n == 5
 
+    @staticmethod
+    def _py_winnow(s, k=3, w=4):
+        ts = [t for t in s.lower().strip().split() if t]
+        th = lambda t: __import__("functools").reduce(
+            lambda a, c: (a * 131 + ord(c)) % 2147483648, t, 0)
+        hv = [th(t) for t in ts]
+        if not hv:
+            return []
+        gf = lambda sl: __import__("functools").reduce(
+            lambda a, h: (a * 1000003 + h) % 2147483648, sl, 0)
+        grams = [gf(hv[i:i + k]) for i in range(max(1, len(hv) - k + 1))]
+        mins = [min(grams[j:j + w])
+                for j in range(max(1, len(grams) - w + 1))]
+        return list(dict.fromkeys(mins))
+
+    def test_winnow_matches_reference_impl(self, spark):
+        texts = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "one two",            # fewer tokens than k
+            "a b c",              # exactly k tokens -> one gram, one window
+            "a b c d e f",        # grams < w -> single boundary window
+            "",                   # empty -> empty fingerprint set
+            "  Spaces   and  CASE  Mixed  tokens  HERE  ok  then  more ",
+        ]
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        out = (df.select("doc_id",
+                         text.winnow_fingerprints_col("text").alias("fps"))
+               .orderBy("doc_id").collect())
+        for r, s in zip(out, texts):
+            assert sorted(r.fps) == sorted(self._py_winnow(s)), s
+
+    def test_winnow_shared_run_guarantee(self, spark):
+        # the paper's guarantee: a shared token run of length >= k+w-1 (=6)
+        # produces at least one shared fingerprint
+        shared = "alpha beta gamma delta epsilon zeta"
+        a, b = f"xx yy {shared} zz", f"{shared} pp qq rr"
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": [a, b]}))
+        fa, fb = [set(r.fps) for r in df.select(
+            text.winnow_fingerprints_col("text").alias("fps")).collect()]
+        assert fa & fb
+
 
 class TestPlans:
     def test_salted_repartition_preserves_rows(self, spark):

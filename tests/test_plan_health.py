@@ -284,3 +284,18 @@ def test_jfif_recode_is_pure_map_before_sort(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 128
     assert all(r.psnr_ge_40 and r.jfif_ok for r in rows)
+
+
+def test_winnow_fingerprint_stays_jvm_side(spark, sf_dir):
+    """text_winnow_fingerprint (round 5) is a pure Catalyst HOF pipeline:
+    scan → Project(s) → terminal sort.  Zero Python stages, exactly one
+    Exchange — the rolling-hash fingerprinting must never leave the JVM or
+    shuffle anything but the final per-doc rows."""
+    import __spark_entry__ as E
+
+    df = E.queries()["text_winnow_fingerprint"](spark, sf_dir)
+    plan = _physical(df)
+    assert not re.search(r"MapInPandas|ArrowEvalPython|BatchEvalPython", plan)
+    assert plan.count("Exchange") == 1, plan
+    rows = df.limit(5).collect()
+    assert all(r.n_fp > 0 for r in rows)
