@@ -39,6 +39,9 @@ def _prep(spark: SparkSession, sf_dir: str) -> None:
     # two are runtime-settable and load-bearing for plan health (session.py
     # documents both pathologies: constraint propagation and inferred
     # generator filters substitute deep expressions through the plan)
+    # timestamp_ntz arithmetic (events_sessionize / events_asof_join) must
+    # not depend on the harness session's local timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
     spark.conf.set(
@@ -1393,6 +1396,103 @@ FROM fp ORDER BY doc_id
 """
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min gap) with per-session rollup.
+    One shuffle on user_id feeds BOTH the window functions and the final
+    groupBy (HashPartitioning(user_id) satisfies the (user_id, session_no)
+    clustering, so Catalyst inserts no second Exchange — pinned in
+    tests/test_sessions.py).  All offsets are epoch-microsecond DIFFERENCES,
+    so the result is timezone-representation-independent."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sessions import session_stats
+
+    out = session_stats(
+        spark.table("events"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+    return out.orderBy("user_id", "session_no")
+
+
+ORACLES_SQL["events_sessionize"] = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events
+), f AS (
+  SELECT user_id, us, value, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM f
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT) AS session_no,
+       COUNT(*) AS n_events,
+       (MAX(us) - MIN(us)) / 1000000.0 AS span_s,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
+def _q_events_asof_join(spark, sf_dir):
+    """Distributed as-of join (union-marker pattern): every click joined to
+    the nearest PRIOR error of the same user — one shuffle of |L|+|R| slim
+    rows, no range-explode, no broadcast of the right side
+    (operators/sessions.py:asof_join).  Oracle is DuckDB's native ASOF LEFT
+    JOIN; right side pre-deduped to one row per (user, ts) in both engines
+    so boundary ties are deterministic."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sessions import asof_join
+
+    ev = spark.table("events")
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        clicks, errs, ["user_id"], "ts", "ts", ["err_id", "ts"], how="left"
+    )
+    from a5pg_spark.operators.sessions import epoch_us
+
+    gap = (epoch_us(F.col("ts")) - epoch_us(F.col("asof_ts"))) / F.lit(1_000_000.0)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.coalesce("asof_err_id", F.lit(-1)).alias("err_id"),
+        F.coalesce(gap, F.lit(-1.0)).alias("gap_s"),
+    ).orderBy("event_id")
+
+
+ORACLES_SQL["events_asof_join"] = """
+WITH err AS (
+  SELECT user_id, ts, MAX(event_id) AS err_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+), c AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id,
+       COALESCE(err.err_id, -1) AS err_id,
+       COALESCE((epoch_us(c.ts) - epoch_us(err.ts)) / 1000000.0, -1.0) AS gap_s
+FROM c ASOF LEFT JOIN err ON c.user_id = err.user_id AND c.ts >= err.ts
+ORDER BY c.event_id
+"""
+
+
 def _q_embed_ann_srp(spark, sf_dir):
     """SRP-LSH approximate NN (random projections — rows-only check;
     recall vs brute force asserted in pytest)."""
@@ -2411,6 +2511,8 @@ _OPERATOR_QUERIES = {
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "text_annotate_agg": _q_text_annotate,
     "text_winnow_fingerprint": _q_text_winnow,
+    "events_sessionize": _q_events_sessionize,
+    "events_asof_join": _q_events_asof_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
     "dedup_embedding_pairs": _q_embed_near_dup,
