@@ -1493,6 +1493,73 @@ ORDER BY c.event_id
 """
 
 
+def _q_sketch_hll_users(spark, sf_dir):
+    """Portable HyperLogLog distinct-user estimate per event_type, joined to
+    the exact count for an honest accuracy readout.  Unlike Spark's built-in
+    approx_count_distinct (HLL++ — register layout is an implementation
+    detail no other engine reproduces), operators/sketches.py builds classic
+    HLL from shared integer primitives, so the DuckDB oracle replays the
+    ENTIRE sketch bit-for-bit: hash rounds, rho via bin/instr, integer
+    register sums, estimator and small-range correction (ln branch verified
+    exhaustively over its finite domain — all 256 values round identically
+    in both engines)."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sketches import hll_distinct
+
+    ev = spark.table("events")
+    sk = hll_distinct(ev, "user_id", ["event_type"], p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return sk.join(F.broadcast(exact), "event_type").orderBy("event_type")
+
+
+ORACLES_SQL["sketch_hll_users"] = """
+WITH h AS (
+  SELECT event_type,
+         xor(d, d >> 13) AS e
+  FROM (
+    SELECT event_type,
+           (xor(b, b >> 15) * 1597334677) % 2147483648 AS d
+    FROM (
+      SELECT event_type,
+             ((user_id % 2147483647) * 2654435761) % 2147483648 AS b
+      FROM events
+    )
+  )
+), rb AS (
+  SELECT event_type, e % 256 AS bkt,
+         CASE WHEN (e >> 8) = 0 THEN 24
+              ELSE instr(lpad(bin(e >> 8), 23, '0'), '1') END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, bkt, MAX(rho) AS r FROM rb GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         SUM(CAST(1 AS BIGINT) << (24 - r)) AS ss,
+         COUNT(*) AS nonzero_buckets
+  FROM regs GROUP BY 1
+), ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT s.event_type,
+       CAST(s.nonzero_buckets AS BIGINT) AS nonzero_buckets,
+       CASE WHEN (0.7213 / (1.0 + 1.079 / 256) * 65536.0)
+                 / ((256 - s.nonzero_buckets) + s.ss / 16777216.0) <= 640.0
+              AND s.nonzero_buckets < 256
+            THEN round(256.0 * ln(256.0 / (256 - s.nonzero_buckets)), 4)
+            ELSE round((0.7213 / (1.0 + 1.079 / 256) * 65536.0)
+                       / ((256 - s.nonzero_buckets) + s.ss / 16777216.0), 4)
+       END AS est_distinct,
+       ex.exact_distinct
+FROM s JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
 def _q_embed_ann_srp(spark, sf_dir):
     """SRP-LSH approximate NN (random projections — rows-only check;
     recall vs brute force asserted in pytest)."""
@@ -2513,6 +2580,7 @@ _OPERATOR_QUERIES = {
     "text_winnow_fingerprint": _q_text_winnow,
     "events_sessionize": _q_events_sessionize,
     "events_asof_join": _q_events_asof_join,
+    "sketch_hll_users": _q_sketch_hll_users,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
     "dedup_embedding_pairs": _q_embed_near_dup,
