@@ -1493,6 +1493,59 @@ ORDER BY c.event_id
 """
 
 
+def _q_events_range_join(spark, sf_dir):
+    """Bucketized range join (operators/intervals.py): events against 4096
+    deterministic overlapping 90-min maintenance windows (one every hour
+    from the 2024-01-01 epoch).  A raw BETWEEN join would plan as
+    BroadcastNestedLoop — O(|L|·|R|); bucketizing turns it into an equi-join
+    on floor(t/W) with each qualifying pair produced exactly once (a point
+    has ONE bucket).  Plan pinned nested-loop-free in tests."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.intervals import range_join_points
+    from a5pg_spark.operators.sessions import epoch_us
+
+    BASE = 1_704_067_200_000_000  # 2024-01-01 epoch micros
+    HOUR = 3_600_000_000
+    iv = spark.range(4096).select(
+        F.col("id").alias("interval_id"),
+        (F.lit(BASE) + F.col("id") * F.lit(HOUR)).alias("s"),
+        (F.lit(BASE) + F.col("id") * F.lit(HOUR) + F.lit(5_400_000_000)).alias("e"),
+    )
+    pts = spark.table("events").select(
+        "event_id", "value", epoch_us(F.col("ts")).alias("t")
+    )
+    j = range_join_points(pts, iv, "t", "s", "e", bucket_width=1_800_000_000)
+    return (
+        j.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("event_id").alias("first_event"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+ORACLES_SQL["events_range_join"] = """
+WITH iv AS (
+  SELECT i AS interval_id,
+         1704067200000000 + i * 3600000000 AS s,
+         1704067200000000 + i * 3600000000 + 5400000000 AS e
+  FROM range(0, 4096) t(i)
+), p AS (
+  SELECT event_id, value, epoch_us(ts) AS t FROM events
+)
+SELECT iv.interval_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(p.value), 6) AS sum_value,
+       MIN(p.event_id) AS first_event
+FROM p JOIN iv ON p.t >= iv.s AND p.t <= iv.e
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_sketch_hll_users(spark, sf_dir):
     """Portable HyperLogLog distinct-user estimate per event_type, joined to
     the exact count for an honest accuracy readout.  Unlike Spark's built-in
@@ -2581,6 +2634,7 @@ _OPERATOR_QUERIES = {
     "events_sessionize": _q_events_sessionize,
     "events_asof_join": _q_events_asof_join,
     "sketch_hll_users": _q_sketch_hll_users,
+    "events_range_join": _q_events_range_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
     "dedup_embedding_pairs": _q_embed_near_dup,

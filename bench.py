@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "images_tiling_mosaic",      # raster decode → pixel→cell → mosaic (round 3: exact oracle)
     "images_phash_neardup",      # banded Hamming self-join over phash (round 4)
     "a5_tile_pyramid",           # one-pass GROUPING SETS res 9→4 rollup (round 4)
+    "events_sessionize",         # gaps-and-islands window + rollup, 1 shuffle (round 5)
+    "events_asof_join",          # union-marker as-of join, 1 shuffle (round 5)
+    "sketch_hll_users",          # portable HLL distinct sketch (round 5)
 ]
 
 
