@@ -47,6 +47,10 @@ def range_join_points(
     keys = list(key_cols)
     w = F.lit(int(bucket_width))
 
+    # floor(x / w) evaluates in doubles; IEEE division by a constant is
+    # monotonic, so s <= t <= e still implies bkt(s) <= bkt(t) <= bkt(e)
+    # even if a boundary quotient rounds below the exact integer — the
+    # candidate set stays a superset and the exact recheck stays sound
     pt_b = points.withColumn("__bkt", F.floor(F.col(pt_col) / w))
     iv_b = intervals.withColumn(
         "__bkt",
