@@ -1493,6 +1493,64 @@ ORDER BY c.event_id
 """
 
 
+def _q_sketch_cms_heavy_hitters(spark, sf_dir):
+    """Count-min frequency sketch over event user_ids: build the d×w counter
+    table (bounded at d·w rows for ANY input size, counters merge by
+    addition), then point-estimate the top-10 exact heavy hitters and report
+    est vs exact.  The oracle rebuilds the identical sketch in SQL — the
+    hash is shared by construction via portable_hash31_sql."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sketches import cms_counters, cms_estimate
+
+    ev = spark.table("events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    cand = exact.orderBy(F.desc("exact_n"), "user_id").limit(10)
+    counters = cms_counters(ev, "user_id", width=1024)
+    est = cms_estimate(counters, cand.select("user_id"), "user_id", width=1024)
+    return (
+        cand.join(est, "user_id")
+        .select("user_id", "exact_n", "est_n")
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
+def _cms_oracle_sql() -> str:
+    from a5pg_spark.operators.sketches import CMS_SALTS, portable_hash31_sql
+
+    pair_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS row, ({portable_hash31_sql('user_id', s)}) % 1024"
+        f" AS bucket FROM events"
+        for i, s in enumerate(CMS_SALTS)
+    )
+    cand_rows = "\n  UNION ALL\n".join(
+        f"  SELECT user_id, exact_n, {i} AS row,"
+        f" ({portable_hash31_sql('user_id', s)}) % 1024 AS bucket FROM cand"
+        for i, s in enumerate(CMS_SALTS)
+    )
+    return f"""
+WITH pairs AS (
+{pair_rows}
+), counters AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY 1
+), cand AS (
+  SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 10
+), candb AS (
+{cand_rows}
+)
+SELECT c.user_id, c.exact_n, MIN(coalesce(ct.cnt, 0)) AS est_n
+FROM candb c LEFT JOIN counters ct USING (row, bucket)
+GROUP BY c.user_id, c.exact_n
+ORDER BY c.exact_n DESC, c.user_id
+"""
+
+
+ORACLES_SQL["sketch_cms_heavy_hitters"] = _cms_oracle_sql()
+
+
 def _q_events_range_join(spark, sf_dir):
     """Bucketized range join (operators/intervals.py): events against 4096
     deterministic overlapping 90-min maintenance windows (one every hour
@@ -2634,6 +2692,7 @@ _OPERATOR_QUERIES = {
     "events_sessionize": _q_events_sessionize,
     "events_asof_join": _q_events_asof_join,
     "sketch_hll_users": _q_sketch_hll_users,
+    "sketch_cms_heavy_hitters": _q_sketch_cms_heavy_hitters,
     "events_range_join": _q_events_range_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,

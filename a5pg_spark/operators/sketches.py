@@ -1,4 +1,5 @@
-"""Distinct-count sketches (HyperLogLog) with a PORTABLE bit-for-bit contract.
+"""Cardinality and frequency sketches (HyperLogLog, count-min) with a
+PORTABLE bit-for-bit contract.
 
 Spark ships ``approx_count_distinct`` (HLL++), but its register layout is an
 implementation detail — no other engine reproduces its estimates, so it can
@@ -37,15 +38,29 @@ M31 = 2_147_483_648  # 2^31
 MIX1 = 2_654_435_761  # Knuth multiplicative constant
 MIX2 = 1_597_334_677
 
+# additive salts giving the d independent CMS hash rows (any constants < 2^31)
+CMS_SALTS = (0, 69_069, 747_796_405, 1_013_904_223)
 
-def portable_hash31(key: Column) -> Column:
-    """31-bit integer hash: mod-(2³¹−1) fold, then two multiply/xor-shift
-    rounds.  Every intermediate stays < 2⁶³ (no BIGINT overflow anywhere)."""
-    a = F.pmod(key.cast("long"), F.lit(M31 - 1))
+
+def portable_hash31(key: Column, salt: int = 0) -> Column:
+    """31-bit integer hash: mod-(2³¹−1) fold (+ additive salt for
+    independent rows), then two multiply/xor-shift rounds.  Every
+    intermediate stays < 2⁶³ (no BIGINT overflow anywhere)."""
+    a = F.pmod(F.pmod(key.cast("long"), F.lit(M31 - 1)) + F.lit(salt), F.lit(M31 - 1))
     b = F.pmod(a * F.lit(MIX1), F.lit(M31))
     c = b.bitwiseXOR(F.shiftright(b, 15))
     d = F.pmod(c * F.lit(MIX2), F.lit(M31))
     return d.bitwiseXOR(F.shiftright(d, 13))
+
+
+def portable_hash31_sql(key_expr: str, salt: int = 0) -> str:
+    """The identical hash as ANSI/DuckDB SQL text — used by oracle authors so
+    Spark and the oracle share one definition by construction."""
+    a = f"((({key_expr}) % 2147483647 + {salt}) % 2147483647)"
+    b = f"(({a} * 2654435761) % 2147483648)"
+    c = f"xor({b}, {b} >> 15)"
+    d = f"((({c}) * 1597334677) % 2147483648)"
+    return f"xor({d}, {d} >> 13)"
 
 
 def hll_distinct(
@@ -85,3 +100,44 @@ def hll_distinct(
         F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 4),
     ).otherwise(F.round(est_raw, 4))
     return stats.select(*gcols, "nonzero_buckets", est.alias("est_distinct"))
+
+
+def _cms_pairs(key: Column, width: int) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(portable_hash31(key, s), F.lit(width)).alias("bucket"),
+            )
+            for i, s in enumerate(CMS_SALTS)
+        ]
+    )
+
+
+def cms_counters(df: DataFrame, key_col: str, width: int = 1024) -> DataFrame:
+    """Count-min sketch counter table: (row, bucket, cnt) — at most
+    d·width rows for ANY input size.  One scan (the d hash rows explode from
+    an array literal), one shuffle of partial counts; counters from disjoint
+    data unions MERGE BY ADDITION, so sketches build incrementally."""
+    return (
+        df.select(F.explode(_cms_pairs(F.col(key_col), width)).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, key_col: str, width: int = 1024
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from a ``cms_counters`` table:
+    min over the d rows of the key's counters.  One-sided: est ≥ true count,
+    overshoot bounded by collisions (≤ 2n/width with probability 1−2⁻ᵈ).
+    The counter table is tiny (d·width), so the join broadcasts."""
+    kb = keys.select(
+        key_col, F.explode(_cms_pairs(F.col(key_col), width)).alias("p")
+    ).select(key_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        kb.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
+    )

@@ -47,3 +47,48 @@ def test_portable_hash_mixes(spark):
     )
     n = out.distinct().count()
     assert n == 256, n
+
+
+def _cms(spark, df, keys, width):
+    from a5pg_spark.operators.sketches import cms_counters, cms_estimate
+
+    c = cms_counters(df, "k", width=width)
+    return {
+        r.k: r.est_n
+        for r in cms_estimate(c, keys, "k", width=width).collect()
+    }, c
+
+
+def test_cms_is_one_sided_and_tight_when_wide(spark):
+    import pyspark.sql.functions as F
+
+    # skewed multiset: key i appears (i % 17) + 1 times
+    base = spark.range(500).select(F.col("id").alias("k"))
+    df = base.withColumn("n", F.pmod(F.col("k"), F.lit(17)) + 1) \
+             .select(F.explode(F.expr("array_repeat(k, int(n))")).alias("k"))
+    truth = {r.k: r.cnt for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    keys = base
+    est, counters = _cms(spark, df, keys, width=1024)
+    assert all(est[k] >= truth[k] for k in truth)          # one-sided law
+    over = sum(est[k] - truth[k] for k in truth)
+    assert over / sum(truth.values()) < 0.25, over         # tight at w >> n
+    # bounded state: never more than d*width counter rows
+    assert counters.count() <= 4 * 1024
+
+
+def test_cms_counters_merge_by_addition(spark):
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sketches import cms_counters
+
+    a = spark.range(300).select(F.col("id").alias("k"))
+    b = spark.range(150, 450).select(F.col("id").alias("k"))
+    whole = cms_counters(a.union(b), "k", width=256)
+    merged = (
+        cms_counters(a, "k", width=256)
+        .union(cms_counters(b, "k", width=256))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
