@@ -1604,6 +1604,56 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_events_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window operator (dynamic-gap merging windows)
+    cross-validated against an INDEPENDENT gaps-and-islands window-function
+    oracle — two genuinely different session implementations must agree on
+    every island (boundary semantics probed: a gap of exactly 30 min merges
+    in both, new session iff diff > gap).  Complements events_sessionize,
+    which builds the same islands explicitly."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sessions import epoch_us
+
+    out = (
+        spark.table("events")
+        .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("session_window.start")).alias("start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return out.orderBy("user_id", "start_us")
+
+
+ORACLES_SQL["events_session_window"] = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, value, event_id FROM events
+), f AS (
+  SELECT user_id, us, value, event_id,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), s AS (
+  SELECT user_id, us, value,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sess
+  FROM f
+)
+SELECT user_id, MIN(us) AS start_us, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sess ORDER BY user_id, start_us
+"""
+
+
 def _q_sketch_hll_users(spark, sf_dir):
     """Portable HyperLogLog distinct-user estimate per event_type, joined to
     the exact count for an honest accuracy readout.  Unlike Spark's built-in
@@ -2691,6 +2741,7 @@ _OPERATOR_QUERIES = {
     "text_winnow_fingerprint": _q_text_winnow,
     "events_sessionize": _q_events_sessionize,
     "events_asof_join": _q_events_asof_join,
+    "events_session_window": _q_events_session_window,
     "sketch_hll_users": _q_sketch_hll_users,
     "sketch_cms_heavy_hitters": _q_sketch_cms_heavy_hitters,
     "events_range_join": _q_events_range_join,
