@@ -1654,6 +1654,41 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, start_us
 """
 
 
+def _q_events_pivot_daily(spark, sf_dir):
+    """Pivot — the one relational shape the repertoire lacked: daily
+    value-sums spread over a FIXED event_type column list (explicit values
+    keep the schema deterministic — mandatory for streaming and for not
+    paying a distinct-scan planning job at 100 TB).  Catalyst compiles this
+    to a single-pass conditional aggregation, exactly what the oracle's
+    FILTER clauses express."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        spark.table("events")
+        .select(F.to_date("ts").alias("day"), "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 6))
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        *[F.col(t).alias(f"sum_{t}") for t in types],
+    ).orderBy("day")
+
+
+ORACLES_SQL["events_pivot_daily"] = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       ROUND(SUM(value) FILTER (event_type = 'click'), 6)    AS sum_click,
+       ROUND(SUM(value) FILTER (event_type = 'error'), 6)    AS sum_error,
+       ROUND(SUM(value) FILTER (event_type = 'purchase'), 6) AS sum_purchase,
+       ROUND(SUM(value) FILTER (event_type = 'signup'), 6)   AS sum_signup,
+       ROUND(SUM(value) FILTER (event_type = 'view'), 6)     AS sum_view
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 def _q_sketch_hll_users(spark, sf_dir):
     """Portable HyperLogLog distinct-user estimate per event_type, joined to
     the exact count for an honest accuracy readout.  Unlike Spark's built-in
@@ -2742,6 +2777,7 @@ _OPERATOR_QUERIES = {
     "events_sessionize": _q_events_sessionize,
     "events_asof_join": _q_events_asof_join,
     "events_session_window": _q_events_session_window,
+    "events_pivot_daily": _q_events_pivot_daily,
     "sketch_hll_users": _q_sketch_hll_users,
     "sketch_cms_heavy_hitters": _q_sketch_cms_heavy_hitters,
     "events_range_join": _q_events_range_join,

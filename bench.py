@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "events_sessionize",         # gaps-and-islands window + rollup, 1 shuffle (round 5)
     "events_asof_join",          # union-marker as-of join, 1 shuffle (round 5)
     "sketch_hll_users",          # portable HLL distinct sketch (round 5)
+    "events_range_join",         # bucketized interval join, no nested loop (round 5)
+    "events_session_window",     # native session-window state operator (round 5)
+    "sketch_cms_heavy_hitters",  # count-min frequency sketch (round 5)
+    "events_pivot_daily",        # single-pass pivot / conditional agg (round 5)
 ]
 
 
