@@ -644,6 +644,64 @@ ORACLES_SQL["snapshot_pruned_scan"] = f"""
 """
 
 
+def _q_snapshot_zorder_scan(spark, sf_dir):
+    """Z-ordered snapshot layout (plans/zorder.py): events written sorted by
+    the Morton interleave of (user_id, day), manifest carrying per-file
+    min/max for BOTH dimensions, then a two-dimensional box scan that prunes
+    files on both at once — the Iceberg rewrite-with-zorder maintenance
+    path.  A single-column sort cannot do this (the second dimension spans
+    its whole domain in every file — comparative law in
+    tests/test_zorder.py).  Semantics = plain two-predicate filter, which is
+    the oracle."""
+    import hashlib
+    import os
+
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.plans.zorder import zorder_layout
+    from a5pg_spark.sources.table import SnapshotTable
+
+    _prep(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.abspath(f"spark-warehouse/snapshots/events_zorder_{key}")
+    t = SnapshotTable(root)
+    if t.manifest() is None:
+        df = spark.table("events").select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+            "value",
+        )
+        t = SnapshotTable.create(
+            root,
+            zorder_layout(df, "user_id", "day"),
+            sort_col="zv",
+            stats_cols=("user_id", "day"),
+        )
+    box = {"user_id": (10, 25), "day": (3, 12)}
+    return t.scan_box(spark, box).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.min("user_id").alias("min_user"),
+        F.max("day").alias("max_day"),
+    )
+
+
+ORACLES_SQL["snapshot_zorder_scan"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+         value
+  FROM events
+)
+SELECT COUNT(*) AS n, ROUND(SUM(value), 6) AS sum_value,
+       MIN(user_id) AS min_user, MAX(day) AS max_day
+FROM e
+WHERE user_id BETWEEN 10 AND 25 AND day BETWEEN 3 AND 12
+"""
+
+
 def _q_audio_features(spark, sf_dir):
     """Audio modality end-to-end: deterministic integer-sawtooth clips are
     WAV-encoded (real RIFF PCM-16 container), decoded back in a mapInPandas
@@ -2756,6 +2814,7 @@ _OPERATOR_QUERIES = {
     "audio_features": _q_audio_features,
     "video_frame_stats": _q_video_frame_stats,
     "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+    "snapshot_zorder_scan": _q_snapshot_zorder_scan,
     "snapshot_compaction": _q_snapshot_compaction,
     "snapshot_stage_resume": _q_snapshot_stage_resume,
     "stream_ingest_snapshot": _q_stream_ingest_snapshot,

@@ -81,23 +81,34 @@ class SnapshotTable:
 
     # --------------------------------------------------------------- writes
     @staticmethod
-    def _footer_entries(paths: list, sort_col: str | None) -> list:
+    def _footer_entries(paths: list, sort_col: str | None,
+                        stats_cols: tuple = ()) -> list:
         """Per-file manifest entries from parquet FOOTERS only (rows, bytes,
         sort-column min/max for pruning) — no data read.  Shared by the
-        write and compaction paths so the stat shape can't drift."""
+        write and compaction paths so the stat shape can't drift.
+        ``stats_cols`` adds per-file min/max for EXTRA columns under
+        ``stats`` — the multi-dimension pruning surface a z-ordered layout
+        makes effective (plans/zorder.py)."""
         files = []
         for path in paths:
             md = pq.ParquetFile(path).metadata
-            lo = hi = None
-            if sort_col is not None:
-                idx = md.schema.names.index(sort_col)
+
+            def minmax(col):
+                idx = md.schema.names.index(col)
+                lo = hi = None
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(idx).statistics
                     if st is not None and st.has_min_max:
                         lo = st.min if lo is None else min(lo, st.min)
                         hi = st.max if hi is None else max(hi, st.max)
-            files.append({"path": path, "rows": md.num_rows,
-                          "bytes": os.path.getsize(path), "min": lo, "max": hi})
+                return lo, hi
+
+            lo, hi = minmax(sort_col) if sort_col is not None else (None, None)
+            entry = {"path": path, "rows": md.num_rows,
+                     "bytes": os.path.getsize(path), "min": lo, "max": hi}
+            if stats_cols:
+                entry["stats"] = {c: list(minmax(c)) for c in stats_cols}
+            files.append(entry)
         return files
 
     @staticmethod
@@ -124,7 +135,8 @@ class SnapshotTable:
             f["cells"] = cmap.get(os.path.basename(f["path"]), 0)
 
     def _write_files(self, df: DataFrame, sort_col: str | None,
-                     cell_col: str | None = None) -> tuple[str, list]:
+                     cell_col: str | None = None,
+                     stats_cols: tuple = ()) -> tuple[str, list]:
         snap_dir = os.path.join(self.data_dir, f"snap-{uuid.uuid4().hex[:12]}")
         w = df
         if sort_col is not None:
@@ -135,14 +147,15 @@ class SnapshotTable:
         w.write.mode("errorifexists").parquet(snap_dir)
         paths = [os.path.join(snap_dir, n) for n in sorted(os.listdir(snap_dir))
                  if n.endswith(".parquet")]
-        files = self._footer_entries(paths, sort_col)
+        files = self._footer_entries(paths, sort_col, stats_cols)
         self._attach_cells_metric(df.sparkSession, files, cell_col)
         return snap_dir, files
 
     def _commit(self, operation: str, files: list, schema_json: str,
                 sort_col: str | None, retain_previous: bool,
                 lineage: dict | None = None,
-                replace_paths: set | None = None) -> dict:
+                replace_paths: set | None = None,
+                stats_cols: tuple = ()) -> dict:
         os.makedirs(self.meta_dir, exist_ok=True)
         for _ in range(20):  # optimistic retry loop
             cur = self._current_version()
@@ -174,6 +187,7 @@ class SnapshotTable:
                 "operation": operation,
                 "schema": schema_json,
                 "sort_col": sort_col,
+                "stats_cols": list(stats_cols),
                 "files": all_files,
                 "lineage": lineage,
                 "metrics": {"rows": rows, "bytes": nbytes,
@@ -201,18 +215,22 @@ class SnapshotTable:
         raise CommitConflict(f"gave up after 20 optimistic retries: {self.root}")
 
     def append(self, df: DataFrame, sort_col: str | None = None,
-               cell_col: str | None = None, lineage: dict | None = None) -> dict:
+               cell_col: str | None = None, lineage: dict | None = None,
+               stats_cols: tuple = ()) -> dict:
         m = self.manifest()
         sort_col = sort_col or (m and m.get("sort_col"))
-        _, files = self._write_files(df, sort_col, cell_col)
+        stats_cols = tuple(stats_cols) or tuple((m or {}).get("stats_cols") or ())
+        _, files = self._write_files(df, sort_col, cell_col, stats_cols)
         return self._commit("append", files, df.schema.json(), sort_col, True,
-                            lineage)
+                            lineage, stats_cols=stats_cols)
 
     def overwrite(self, df: DataFrame, sort_col: str | None = None,
-                  cell_col: str | None = None, lineage: dict | None = None) -> dict:
-        _, files = self._write_files(df, sort_col, cell_col)
+                  cell_col: str | None = None, lineage: dict | None = None,
+                  stats_cols: tuple = ()) -> dict:
+        stats_cols = tuple(stats_cols)
+        _, files = self._write_files(df, sort_col, cell_col, stats_cols)
         return self._commit("overwrite", files, df.schema.json(), sort_col,
-                            False, lineage)
+                            False, lineage, stats_cols=stats_cols)
 
     def compact(self, spark: SparkSession, small_rows: int,
                 cell_col: str | None = None) -> dict:
@@ -255,11 +273,13 @@ class SnapshotTable:
             new_paths.extend(
                 os.path.join(out_dir, n) for n in sorted(os.listdir(out_dir))
                 if n.endswith(".parquet"))
-        new_files = self._footer_entries(new_paths, sort_col)
+        stats_cols = tuple(man.get("stats_cols") or ())
+        new_files = self._footer_entries(new_paths, sort_col, stats_cols)
         # one grouped metric pass over ALL bins (was one Spark job per file)
         self._attach_cells_metric(spark, new_files, cell_col)
         return self._commit("compact", new_files, man["schema"], sort_col,
-                            True, replace_paths={f["path"] for f in small})
+                            True, replace_paths={f["path"] for f in small},
+                            stats_cols=stats_cols)
 
     def snapshot_for_lineage(self, key: dict) -> dict | None:
         """Most recent committed snapshot whose ``lineage`` equals ``key``
@@ -272,10 +292,11 @@ class SnapshotTable:
         return None
 
     @classmethod
-    def create(cls, root: str, df: DataFrame, sort_col: str | None = None) -> "SnapshotTable":
+    def create(cls, root: str, df: DataFrame, sort_col: str | None = None,
+               stats_cols: tuple = ()) -> "SnapshotTable":
         t = cls(root)
         os.makedirs(t.data_dir, exist_ok=True)
-        t.overwrite(df, sort_col=sort_col)
+        t.overwrite(df, sort_col=sort_col, stats_cols=stats_cols)
         return t
 
     # ---------------------------------------------------------------- reads
@@ -309,6 +330,47 @@ class SnapshotTable:
         kept = [f for f in m["files"]
                 if f["min"] is None or not (f["max"] < lo or f["min"] > hi)]
         return len(kept), len(m["files"])
+
+    @staticmethod
+    def _box_files(m: dict, box: dict) -> list:
+        for c in box:
+            if c not in (m.get("stats_cols") or ()):
+                raise ValueError(f"no stats tracked for column {c!r}")
+        return [
+            f for f in m["files"]
+            if all(
+                f.get("stats", {}).get(c, [None, None])[0] is None
+                or not (f["stats"][c][1] < lo or f["stats"][c][0] > hi)
+                for c, (lo, hi) in box.items()
+            )
+        ]
+
+    def scan_box(self, spark: SparkSession, box: dict,
+                 version: int | None = None) -> DataFrame:
+        """Multi-dimension pruned scan: ``box`` maps column → (lo, hi)
+        inclusive.  Files are pruned on the per-column manifest stats
+        (``stats_cols`` at write time), then the exact filters apply —
+        semantics identical to a plain filtered read.  Effective on several
+        columns at once only when the layout clusters them together; that is
+        what ``plans/zorder.zorder_layout`` buys (a single-column sort makes
+        every other dimension span its whole domain in every file)."""
+        m = self.manifest(version)
+        if m is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        files = self._box_files(m, box)
+        if not files:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema"])))
+        df = spark.read.parquet(*[f["path"] for f in files])
+        for c, (lo, hi) in box.items():
+            df = df.filter((df[c] >= lo) & (df[c] <= hi))
+        return df
+
+    def pruned_file_count_box(self, box: dict, version: int | None = None) -> tuple:
+        """(files read, files total) for a multi-dimension box."""
+        m = self.manifest(version)
+        return len(self._box_files(m, box)), len(m["files"])
 
 
 # ---------------------------------------------------------------------------
