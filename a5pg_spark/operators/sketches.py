@@ -63,17 +63,14 @@ def portable_hash31_sql(key_expr: str, salt: int = 0) -> str:
     return f"xor({d}, {d} >> 13)"
 
 
-def hll_distinct(
-    df: DataFrame,
-    key_col: str,
-    group_cols: Sequence[str],
-    p: int = 8,
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: Sequence[str], p: int = 8
 ) -> DataFrame:
-    """HLL distinct-count estimate of ``key_col`` per group: returns
-    (group…, nonzero_buckets, est_distinct).  ``m = 2**p`` registers;
-    relative error ≈ 1.04/sqrt(m) (6.5 % at p=8)."""
+    """The HLL sketch STATE: (group…, __bkt, __r) — at most ``2**p`` rows per
+    group for any input size.  Registers from different data slices merge
+    with ``hll_merge`` (per-register max), so sketches build incrementally
+    and union across partitions/tables without re-reading data."""
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
     h = portable_hash31(F.col(key_col))
     bucket = F.pmod(h, F.lit(m))
     v = F.shiftright(h, p)  # 23 suffix bits at p=8 (h < 2^31)
@@ -83,12 +80,32 @@ def hll_distinct(
         .cast("int")
     )
     gcols = list(group_cols)
-    regs = (
+    return (
         df.select(*gcols, bucket.alias("__bkt"), rho.alias("__rho"))
         .groupBy(*gcols, "__bkt")
         .agg(F.max("__rho").alias("__r"))
     )
-    stats = regs.groupBy(*gcols).agg(
+
+
+def hll_merge(*registers: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Union sketch: per-register max across any number of register tables
+    (the HLL merge law: est(merge(A, B)) == est(sketch(A ∪ B)), exactly)."""
+    gcols = list(group_cols)
+    u = registers[0]
+    for r in registers[1:]:
+        u = u.unionByName(r)
+    return u.groupBy(*gcols, "__bkt").agg(F.max("__r").alias("__r"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: Sequence[str], p: int = 8
+) -> DataFrame:
+    """Estimator over a register table: harmonic mean of the registers with
+    linear-counting small-range correction (Flajolet et al. 2007)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = list(group_cols)
+    stats = registers.groupBy(*gcols).agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 24 - __r)")).alias("__ss"),
         F.count(F.lit(1)).alias("nonzero_buckets"),
     )
@@ -100,6 +117,19 @@ def hll_distinct(
         F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros), 4),
     ).otherwise(F.round(est_raw, 4))
     return stats.select(*gcols, "nonzero_buckets", est.alias("est_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """HLL distinct-count estimate of ``key_col`` per group: returns
+    (group…, nonzero_buckets, est_distinct).  ``m = 2**p`` registers;
+    relative error ≈ 1.04/sqrt(m) (6.5 % at p=8).  Composition of
+    ``hll_registers`` → ``hll_estimate``."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, p), group_cols, p)
 
 
 def _cms_pairs(key: Column, width: int) -> Column:

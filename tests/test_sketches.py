@@ -92,3 +92,24 @@ def test_cms_counters_merge_by_addition(spark):
     )
     assert whole.exceptAll(merged).count() == 0
     assert merged.exceptAll(whole).count() == 0
+
+
+def test_hll_merge_law(spark):
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_registers)
+
+    a = spark.range(4_000).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    b = spark.range(2_000, 7_000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k"))
+    merged = hll_merge(
+        hll_registers(a, "k", ["g"]),
+        hll_registers(b, "k", ["g"]),
+        group_cols=["g"],
+    )
+    got = hll_estimate(merged, ["g"]).collect()[0]
+    want = hll_estimate(hll_registers(a.union(b), "k", ["g"]), ["g"]).collect()[0]
+    # merge of sketch states == sketch of the unioned data, EXACTLY
+    assert (got.nonzero_buckets, got.est_distinct) == (
+        want.nonzero_buckets, want.est_distinct)
