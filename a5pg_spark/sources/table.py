@@ -372,6 +372,65 @@ class SnapshotTable:
         m = self.manifest(version)
         return len(self._box_files(m, box)), len(m["files"])
 
+    def scan_changes(self, spark: SparkSession, from_version: int,
+                     to_version: int | None = None) -> DataFrame:
+        """Incremental read: rows in data files ADDED after ``from_version``
+        up to ``to_version`` (default current) — the Iceberg
+        incremental-append consumption path.  Metadata-only file diff, so a
+        downstream pipeline polls new data in O(files) regardless of table
+        size.  Refuses histories where files were REMOVED in the window
+        (overwrite/compact rewrites make "what changed" ambiguous at the
+        file level — consumers must re-read or use lineage there)."""
+        old = self.manifest(from_version)
+        new = self.manifest(to_version)
+        if old is None or new is None:
+            raise FileNotFoundError(f"missing snapshot version: {self.root}")
+        old_paths = {f["path"] for f in old["files"]}
+        new_paths = {f["path"] for f in new["files"]}
+        if not old_paths <= new_paths:
+            raise ValueError(
+                "non-append history in window (overwrite/compact present): "
+                f"{self.root} v{old['version']}→v{new['version']}")
+        added = [f["path"] for f in new["files"] if f["path"] not in old_paths]
+        if not added:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(new["schema"])))
+        return spark.read.parquet(*added)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retention maintenance: keep the most recent ``keep_last``
+        manifests, delete older version files AND any data file referenced
+        only by them — the Iceberg ``expire_snapshots`` action.  The current
+        snapshot (and any retained ancestor) stays byte-identical; expired
+        versions stop being readable.  Metadata cost O(versions + files);
+        never reads data.  Returns {removed_versions, removed_files}."""
+        snaps = self.snapshots()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return {"removed_versions": 0, "removed_files": 0}
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live = {f["path"] for m in keep for f in m["files"]}
+        dead = {f["path"] for m in drop for f in m["files"]} - live
+        for path in dead:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        for m in drop:
+            try:
+                os.remove(os.path.join(self.meta_dir, f"v{m['version']}.json"))
+            except OSError:
+                pass
+        # cut the oldest retained manifest's parent pointer so snapshots()
+        # stops cleanly at the retention horizon
+        oldest = dict(keep[0])
+        oldest["parent"] = None
+        with open(os.path.join(self.meta_dir, f"v{oldest['version']}.json"), "w") as f:
+            json.dump(oldest, f)
+        return {"removed_versions": len(drop), "removed_files": len(dead)}
+
 
 # ---------------------------------------------------------------------------
 # checkpoint-resumable pipeline stages (north-rule: "every stage is

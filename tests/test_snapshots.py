@@ -221,3 +221,53 @@ def test_compact_retains_concurrent_append(spark, tmp_path_factory, cells_df):
     paths = {f["path"] for f in m["files"]}
     assert not (planned & paths)            # inputs replaced
     assert t.scan(spark).count() == 450     # 400 rewritten + 50 concurrent
+
+
+def test_scan_changes_incremental_append(spark, tmp_path_factory, cells_df):
+    root = str(tmp_path_factory.mktemp("snap_inc"))
+    t = SnapshotTable.create(root, cells_df.limit(4000), sort_col="cell")
+    v1 = t.manifest()["version"]
+    t.append(cells_df.where("id >= 4000 and id < 6000"))
+    v2 = t.manifest()["version"]
+    t.append(cells_df.where("id >= 6000 and id < 6500"))
+    # incremental = exactly the rows added in the window
+    assert t.scan_changes(spark, v1, v2).count() == 2000
+    assert t.scan_changes(spark, v2).count() == 500
+    assert t.scan_changes(spark, v1).count() == 2500
+    # empty window -> empty frame with the table schema
+    empty = t.scan_changes(spark, v2, v2)
+    assert empty.count() == 0 and set(empty.columns) == {"cell", "price"}
+    # incremental union base == full scan (the consumption law)
+    full = t.scan(spark).count()
+    assert t.scan(spark, version=v1).count() + 2500 == full
+
+
+def test_scan_changes_refuses_rewrites(spark, tmp_path_factory, cells_df):
+    root = str(tmp_path_factory.mktemp("snap_inc2"))
+    t = SnapshotTable.create(root, cells_df.limit(1000), sort_col="cell")
+    v1 = t.manifest()["version"]
+    t.overwrite(cells_df.limit(500), sort_col="cell")
+    with pytest.raises(ValueError, match="non-append"):
+        t.scan_changes(spark, v1)
+
+
+def test_expire_snapshots_retention(spark, tmp_path_factory, cells_df):
+    root = str(tmp_path_factory.mktemp("snap_exp"))
+    t = SnapshotTable.create(root, cells_df.limit(2000), sort_col="cell")
+    old_paths = {f["path"] for f in t.manifest()["files"]}
+    t.overwrite(cells_df.where("id >= 2000 and id < 5000"), sort_col="cell")
+    t.append(cells_df.where("id >= 5000 and id < 5500"))
+    before = t.scan(spark).count()
+    assert before == 3500
+    res = t.expire_snapshots(keep_last=2)
+    assert res["removed_versions"] == 1 and res["removed_files"] >= 1
+    # current + retained parent intact, expired version unreadable,
+    # orphaned data files gone from disk
+    assert t.scan(spark).count() == 3500
+    assert len(t.snapshots()) == 2
+    assert t.manifest(1) is None
+    assert all(not os.path.exists(p) for p in old_paths)
+    # files shared with retained snapshots must survive an expire
+    res2 = t.expire_snapshots(keep_last=1)
+    assert res2["removed_versions"] == 1 and res2["removed_files"] == 0
+    assert t.scan(spark).count() == 3500
