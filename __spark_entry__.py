@@ -1609,6 +1609,75 @@ ORDER BY c.exact_n DESC, c.user_id
 ORACLES_SQL["sketch_cms_heavy_hitters"] = _cms_oracle_sql()
 
 
+def _q_rel_bloom_pruned_join(spark, sf_dir):
+    """Bloom-filter join pruning (plans/bloom.py): a selective dim (parts
+    with p_size <= 3, ~7%) inner-joined to lineitem.  The dim side collapses
+    into a ONE-ROW 4096-bit bitmap (portable_hash31, k=3) that broadcasts
+    and filters the fact SCAN before any exchange — at 100 TB every pruned
+    row is a row that never enters the shuffle.  No false negatives ⇒ the
+    per-brand revenue rollup is identical to the plain join (the law
+    tests/test_bloom.py pins); the portable hash chain means even the exact
+    bloom_passed count (true matches + the bounded false positives) replays
+    bit-for-bit in the DuckDB oracle as k IN-subqueries over the same hash
+    SQL (`bloom_pass_sql`)."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.plans.bloom import bloom_build, bloom_prune
+
+    dim = spark.table("part").where(F.col("p_size") <= 3)
+    li = spark.table("lineitem")
+    bm = bloom_build(dim, "p_partkey")
+    pruned = bloom_prune(li, "l_partkey", bm)
+    per_brand = (
+        pruned.join(F.broadcast(dim), pruned["l_partkey"] == dim["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+    )
+    stats = pruned.agg(F.count("*").alias("bloom_passed"))
+    total = li.agg(F.count("*").alias("fact_total"))
+    return (
+        per_brand.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(total))
+        .orderBy("p_brand")
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    from a5pg_spark.plans.bloom import bloom_pass_sql
+
+    cte, checks = bloom_pass_sql(
+        "l_partkey", "SELECT * FROM part WHERE p_size <= 3", "p_partkey"
+    )
+    return f"""
+WITH {cte},
+dim AS (SELECT * FROM part WHERE p_size <= 3),
+passed AS (SELECT * FROM lineitem WHERE {checks}),
+pb AS (
+  SELECT p_brand, COUNT(*) AS n_lines,
+         ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+  FROM passed JOIN dim ON l_partkey = p_partkey GROUP BY 1
+),
+st AS (SELECT COUNT(*) AS bloom_passed FROM passed),
+tot AS (SELECT COUNT(*) AS fact_total FROM lineitem)
+SELECT pb.p_brand, pb.n_lines, pb.revenue, st.bloom_passed, tot.fact_total
+FROM pb, st, tot ORDER BY p_brand
+"""
+
+
+ORACLES_SQL["rel_bloom_pruned_join"] = _bloom_oracle_sql()
+
+
 def _q_events_range_join(spark, sf_dir):
     """Bucketized range join (operators/intervals.py): events against 4096
     deterministic overlapping 90-min maintenance windows (one every hour
@@ -2839,6 +2908,7 @@ _OPERATOR_QUERIES = {
     "events_pivot_daily": _q_events_pivot_daily,
     "sketch_hll_users": _q_sketch_hll_users,
     "sketch_cms_heavy_hitters": _q_sketch_cms_heavy_hitters,
+    "rel_bloom_pruned_join": _q_rel_bloom_pruned_join,
     "events_range_join": _q_events_range_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
