@@ -1678,6 +1678,89 @@ FROM pb, st, tot ORDER BY p_brand
 ORACLES_SQL["rel_bloom_pruned_join"] = _bloom_oracle_sql()
 
 
+def _q_sketch_quantile_prices(spark, sf_dir):
+    """Portable histogram-quantile sketch (operators/sketches.py): p50/p90/
+    p99 of lineitem price-in-cents per returnflag, joined to the exact
+    median for an honest accuracy readout.  Spark's approx_percentile
+    (Greenwald-Khanna) and DuckDB's approx_quantile (t-digest) can never
+    agree bit-for-bit; the fixed-width integer histogram can — binning and
+    ranks are pure integer arithmetic, only the final interpolation touches
+    doubles (identical IEEE expression both sides, round 4).  State is ≤ 256
+    counters per group for ANY input size, mergeable by addition; error is
+    deterministically ≤ one bin width."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from a5pg_spark.operators.sketches import histogram_quantiles
+
+    v = spark.table("lineitem").select(
+        F.col("l_returnflag"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    est = histogram_quantiles(v, "cents", ["l_returnflag"], bins=256)
+    w = Window.partitionBy("l_returnflag").orderBy("cents")
+    wn = Window.partitionBy("l_returnflag")
+    exact = (
+        v.withColumn("rn", F.row_number().over(w))
+        .withColumn("nn", F.count(F.lit(1)).over(wn))
+        .where(F.expr("rn = (nn + 1) DIV 2"))
+        .select("l_returnflag", F.col("cents").alias("exact_p50"))
+    )
+    return (
+        est.join(exact, "l_returnflag")
+        .select("l_returnflag", "n", "est_p50", "est_p90", "est_p99", "exact_p50")
+        .orderBy("l_returnflag")
+    )
+
+
+def _quantile_oracle_sql() -> str:
+    parts = []
+    for name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        rr = f"(n * {num} + {den} - 1) // {den}"
+        rq = f"(q.n * {num} + {den} - 1) // {den}"
+        parts.append(
+            f"""q{name} AS (
+  SELECT g, lo, hi, n, MIN(bin) AS bin FROM c WHERE cum >= {rr} GROUP BY 1, 2, 3, 4
+), e{name} AS (
+  SELECT q.g, q.n,
+         ROUND(q.lo + ((q.bin + ({rq} - (c.cum - c.cnt)) / c.cnt)
+                        * (q.hi - q.lo + 1)) / 256.0, 4) AS est_{name}
+  FROM q{name} q JOIN c ON c.g = q.g AND c.bin = q.bin
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH v AS (
+  SELECT l_returnflag AS g, CAST(floor(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+), st AS (
+  SELECT g, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM v GROUP BY 1
+), b AS (
+  SELECT v.g, ((v.v - st.lo) * 256) // (st.hi - st.lo + 1) AS bin, st.lo, st.hi, st.n
+  FROM v JOIN st USING (g)
+), h AS (
+  SELECT g, lo, hi, n, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3, 4, 5
+), c AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum FROM h
+),
+{body},
+ex AS (
+  SELECT g, v AS exact_p50 FROM (
+    SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+           COUNT(*) OVER (PARTITION BY g) AS nn FROM v
+  ) WHERE rn = (nn + 1) // 2
+)
+SELECT ep50.g AS l_returnflag, ep50.n, ep50.est_p50, ep90.est_p90, ep99.est_p99,
+       ex.exact_p50
+FROM ep50 JOIN ep90 USING (g) JOIN ep99 USING (g) JOIN ex USING (g)
+ORDER BY l_returnflag
+"""
+
+
+ORACLES_SQL["sketch_quantile_prices"] = _quantile_oracle_sql()
+
+
 def _q_events_range_join(spark, sf_dir):
     """Bucketized range join (operators/intervals.py): events against 4096
     deterministic overlapping 90-min maintenance windows (one every hour
@@ -2909,6 +2992,7 @@ _OPERATOR_QUERIES = {
     "sketch_hll_users": _q_sketch_hll_users,
     "sketch_cms_heavy_hitters": _q_sketch_cms_heavy_hitters,
     "rel_bloom_pruned_join": _q_rel_bloom_pruned_join,
+    "sketch_quantile_prices": _q_sketch_quantile_prices,
     "events_range_join": _q_events_range_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,

@@ -171,3 +171,118 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_n"))
     )
+
+
+# --------------------------------------------------------------------------
+# histogram quantiles — the portable analogue of approx_percentile
+# --------------------------------------------------------------------------
+#
+# Spark's approx_percentile (Greenwald-Khanna) and DuckDB's approx_quantile
+# (t-digest) are different algorithms — their estimates can never agree
+# bit-for-bit.  A fixed-width integer histogram CAN: binning is pure integer
+# arithmetic ((v-lo)*B div (hi-lo+1), non-negative operands so Spark's DIV
+# and DuckDB's // agree), ranks are exact integers (ceil(q·n) via
+# (n·num + den - 1) div den), and only the final interpolation touches
+# doubles (same IEEE expression in both engines, rounded to 4 decimals).
+#
+# Scale design: state is ≤ ``bins`` counters per group — constant in data
+# size, MERGES BY ADDITION (the law tests/test_sketches pins) — built by one
+# map-side-combined shuffle.  Accuracy: the estimate is within one bin width
+# (hi-lo+1)/bins of an exact quantile, a deterministic guarantee rather than
+# a probabilistic one.  The per-group (lo, hi, n) pass broadcasts back (a
+# group-count-sized table); at a known fixed domain pass lo/hi as literals
+# and it becomes single-pass.
+
+QUANTILES: Sequence[tuple[str, int, int]] = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+
+def histogram_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    bins: int = 256,
+    domain: tuple[int, int] | None = None,
+) -> DataFrame:
+    """The sketch STATE: (group…, lo, hi, n, __bin, cnt) — at most ``bins``
+    rows per group for any input size, mergeable by adding ``cnt`` (same
+    lo/hi).  ``value_col`` must be integral (cast upstream).
+
+    With ``domain=(lo, hi)`` the histogram is SINGLE-PASS (no stats
+    pre-aggregation) and sketches over different data slices share the same
+    binning — the precondition of the merge law.  Without it, lo/hi are
+    derived per group by one extra bounded aggregation."""
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("long")
+    if domain is not None:
+        from pyspark.sql import Window
+
+        lo, hi = int(domain[0]), int(domain[1])
+        return (
+            df.select(
+                *gcols,
+                F.lit(lo).cast("long").alias("lo"),
+                F.lit(hi).cast("long").alias("hi"),
+                F.expr(
+                    f"CAST(({value_col} - {lo}L) * {bins} DIV ({hi}L - {lo}L + 1) AS INT)"
+                ).alias("__bin"),
+            )
+            .groupBy(*gcols, "lo", "hi", "__bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("n", F.sum("cnt").over(Window.partitionBy(*gcols)))
+            .select(*gcols, "lo", "hi", "n", "__bin", "cnt")
+        )
+    stats = df.groupBy(*gcols).agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    binned = df.join(F.broadcast(stats), gcols).select(
+        *gcols,
+        "lo",
+        "hi",
+        "n",
+        F.expr(f"CAST(({value_col} - lo) * {bins} DIV (hi - lo + 1) AS INT)").alias(
+            "__bin"
+        ),
+    )
+    return binned.groupBy(*gcols, "lo", "hi", "n", "__bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    bins: int = 256,
+    quantiles: Sequence[tuple[str, int, int]] = QUANTILES,
+) -> DataFrame:
+    """Quantile estimates per group from the bounded histogram: for each
+    (name, num, den) the rank is ceil(n·num/den); the estimate interpolates
+    inside the first bin whose cumulative count reaches it.  Deterministic
+    error ≤ one bin width."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    h = histogram_counts(df, value_col, group_cols, bins)
+    w = Window.partitionBy(*gcols).orderBy("__bin")
+    cum = h.withColumn("cum", F.sum("cnt").over(w))
+    out = None
+    for name, num, den in quantiles:
+        r = F.expr(f"(n * {num} + {den} - 1) DIV {den}")
+        hit = (
+            cum.where(F.col("cum") >= r)
+            .groupBy(*gcols, "lo", "hi", "n")
+            .agg(F.min(F.struct("__bin", "cnt", "cum")).alias("s"))
+        )
+        est = F.round(
+            F.col("lo")
+            + (
+                F.col("s.__bin")
+                + (r - (F.col("s.cum") - F.col("s.cnt"))) / F.col("s.cnt")
+            )
+            * (F.col("hi") - F.col("lo") + 1)
+            / F.lit(bins),
+            4,
+        ).alias(f"est_{name}")
+        q = hit.select(*gcols, "n", est)
+        out = q if out is None else out.join(q.drop("n"), gcols)
+    return out

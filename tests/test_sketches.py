@@ -113,3 +113,58 @@ def test_hll_merge_law(spark):
     # merge of sketch states == sketch of the unioned data, EXACTLY
     assert (got.nonzero_buckets, got.est_distinct) == (
         want.nonzero_buckets, want.est_distinct)
+
+
+def test_histogram_merge_law(spark):
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sketches import histogram_counts
+
+    a = spark.range(1_000).select(F.lit("g").alias("g"), (F.col("id") * 7 % 997).alias("v"))
+    b = spark.range(1_500).select(F.lit("g").alias("g"), (F.col("id") * 13 % 997).alias("v"))
+    # mergeability requires a shared binning — the fixed-domain single-pass
+    # mode exists exactly for this (per-slice derived lo/hi would differ)
+    u = a.union(b)
+    dom = (0, 996)
+    whole = histogram_counts(u, "v", ["g"], bins=64, domain=dom)
+    h1 = histogram_counts(u.where(F.col("v") % 2 == 0), "v", ["g"], bins=64, domain=dom)
+    h2 = histogram_counts(u.where(F.col("v") % 2 == 1), "v", ["g"], bins=64, domain=dom)
+    merged = (
+        h1.select("g", "__bin", "cnt").union(h2.select("g", "__bin", "cnt"))
+        .groupBy("g", "__bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert (
+        whole.select("g", "__bin", "cnt").exceptAll(merged).count() == 0
+        and merged.exceptAll(whole.select("g", "__bin", "cnt")).count() == 0
+    )
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sketches import histogram_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 100_000, 4_000)
+    df = spark.createDataFrame(
+        [("g", int(v)) for v in vals], "g string, v long")
+    [row] = histogram_quantiles(df, "v", ["g"], bins=256).collect()
+    lo, hi = int(vals.min()), int(vals.max())
+    width = (hi - lo + 1) / 256
+    s = np.sort(vals)
+    for name, q in (("est_p50", 0.5), ("est_p90", 0.9), ("est_p99", 0.99)):
+        exact = s[int(np.ceil(q * len(s))) - 1]
+        assert abs(row[name] - exact) <= width + 1e-9, (name, row[name], exact)
+
+
+def test_histogram_state_bounded(spark):
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sketches import histogram_counts
+
+    df = spark.range(50_000).select(
+        F.lit("g").alias("g"), (F.col("id") % 9973).alias("v"))
+    h = histogram_counts(df, "v", ["g"], bins=128)
+    assert h.count() <= 128
+    assert h.agg(F.sum("cnt")).collect()[0][0] == 50_000
