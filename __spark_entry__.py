@@ -1761,6 +1761,77 @@ ORDER BY l_returnflag
 ORACLES_SQL["sketch_quantile_prices"] = _quantile_oracle_sql()
 
 
+def _q_rel_bucketed_join(spark, sf_dir):
+    """Bucketed co-located join (plans/bucketing.py): lineitem and orders
+    written ONCE as co-bucketed tables (8 buckets on the order key, one
+    sorted file per bucket), then equi-joined with a physical plan carrying
+    ZERO Exchange and ZERO Sort — the shuffle is paid at write time, every
+    later join on the key is free.  The brief's third shuffle-control leg
+    (broadcast / salt / bucket); semantics = the plain join (exact oracle).
+    tests/test_bucketing.py pins the plan shape."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from a5pg_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    _prep(spark, sf_dir)
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    root = os.path.abspath(f"spark-warehouse/bucketed_{key}")
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": spark.conf.get(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        lt, rt = f"li_bkt_{key}", f"od_bkt_{key}"
+        if not spark.catalog.tableExists(lt):
+            write_bucketed(
+                spark.table("lineitem"), lt, "l_orderkey", 8, f"{root}/lineitem"
+            )
+        if not spark.catalog.tableExists(rt):
+            write_bucketed(
+                spark.table("orders"), rt, "o_orderkey", 8, f"{root}/orders"
+            )
+        j = bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
+        out = (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.count_distinct("o_orderkey").alias("n_orders"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,4)")
+                        * (1 - F.col("l_discount")).cast("decimal(18,6)")
+                    ).cast("double"),
+                    4,
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        out.collect()  # materialize under the scoped confs
+        return out
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+ORACLES_SQL["rel_bucketed_join"] = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(1 - l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def _q_events_range_join(spark, sf_dir):
     """Bucketized range join (operators/intervals.py): events against 4096
     deterministic overlapping 90-min maintenance windows (one every hour
@@ -2993,6 +3064,7 @@ _OPERATOR_QUERIES = {
     "sketch_cms_heavy_hitters": _q_sketch_cms_heavy_hitters,
     "rel_bloom_pruned_join": _q_rel_bloom_pruned_join,
     "sketch_quantile_prices": _q_sketch_quantile_prices,
+    "rel_bucketed_join": _q_rel_bucketed_join,
     "events_range_join": _q_events_range_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "events_session_window",     # native session-window state operator (round 5)
     "sketch_cms_heavy_hitters",  # count-min frequency sketch (round 5)
     "events_pivot_daily",        # single-pass pivot / conditional agg (round 5)
+    "rel_bloom_pruned_join",     # bloom-pruned fact scan before the join shuffle (round 5)
+    "sketch_quantile_prices",    # bounded histogram quantiles + exact median (round 5)
 ]
 
 
