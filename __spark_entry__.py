@@ -1831,6 +1831,62 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
+# deterministic synthetic route segments: endpoint A from the key, endpoint
+# B = A + a small (±1°, ±0.4°) key-derived delta — identical text in both
+# engines, so the lerped sample points agree bit-for-bit
+_SEG_BASE = """
+  SELECT c_custkey AS rid,
+         ((c_custkey * 2654435761) % 358000000) / 1e6 - 179.0 AS lon1,
+         ((c_custkey * 987654321986) % 160000000) / 1e6 - 80.0 AS lat1,
+         ((c_custkey * 48271) % 2000001) / 1e6 - 1.0 AS dlon,
+         ((c_custkey * 69069) % 800001) / 1e6 - 0.4 AS dlat
+  FROM customer
+"""
+_SEG_SQL = f"""
+  SELECT rid, lon1, lat1, lon1 + dlon AS lon2, lat1 + dlat AS lat2
+  FROM ({_SEG_BASE})
+"""
+
+
+def _q_route_cells(spark, sf_dir):
+    """Trajectory → A5 cell path (operators/trajectories.py): deterministic
+    route segments fan out to 33 lerped sample points each (Expand +
+    arithmetic, pure JVM), encode at res 7, and roll up to the per-route
+    distinct-cell set — the line-geometry primitive next to point encode and
+    polygon cover.  ONE data shuffle (the per-route distinct+rollup).  The
+    oracle replays the identical lerp text and the generated encode CTE
+    chain (oracle_gen.py), so n_cells AND the Hilbert id range match
+    bit-for-bit."""
+    _prep(spark, sf_dir)
+    from a5pg_spark.operators.trajectories import route_cell_stats
+
+    seg = spark.sql(_SEG_SQL)
+    return route_cell_stats(
+        seg, "rid", "lon1", "lat1", "lon2", "lat2", res=7, samples=32
+    ).orderBy("rid")
+
+
+def _route_cells_oracle_sql() -> str:
+    from a5pg_spark.oracle_gen import encode_cte_chain
+
+    ctes, final = encode_cte_chain(7)
+    return f"""
+WITH segs AS ({_SEG_SQL}),
+pts AS (
+  SELECT rid * 33 + g.i AS key,
+         lon1 + (lon2 - lon1) * (g.i / 32.0) AS lon,
+         lat1 + (lat2 - lat1) * (g.i / 32.0) AS lat
+  FROM segs, generate_series(0, 32) AS g(i)
+),
+{ctes},
+rc AS (SELECT DISTINCT CAST(key // 33 AS BIGINT) AS rid, cell FROM {final})
+SELECT rid, COUNT(*) AS n_cells, MIN(cell) AS min_cell, MAX(cell) AS max_cell
+FROM rc GROUP BY rid ORDER BY rid
+"""
+
+
+ORACLES_SQL["a5_route_cells"] = _route_cells_oracle_sql()
+
 
 def _q_events_range_join(spark, sf_dir):
     """Bucketized range join (operators/intervals.py): events against 4096
@@ -3065,6 +3121,7 @@ _OPERATOR_QUERIES = {
     "rel_bloom_pruned_join": _q_rel_bloom_pruned_join,
     "sketch_quantile_prices": _q_sketch_quantile_prices,
     "rel_bucketed_join": _q_rel_bucketed_join,
+    "a5_route_cells": _q_route_cells,
     "events_range_join": _q_events_range_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
