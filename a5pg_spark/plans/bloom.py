@@ -118,9 +118,11 @@ def bloom_pruned_join(
 
 
 def bloom_pass_sql(key_expr: str, dim_sql: str, dim_key: str, m_bits: int = 4096, k: int = 3) -> str:
-    """WHERE-clause SQL replaying the bloom probe exactly: the set bits ARE
-    the dim's position set, so `key passes` ⇔ each of its k positions is in
-    that set.  Same hash text as the Spark build by construction."""
+    """Returns ``(cte, checks)`` — a named CTE defining the dim's bit-position
+    set and the conjunct replaying the probe exactly (`key passes` ⇔ each of
+    its k positions is in that set; the set bits ARE the position set).
+    Compose as ``WITH {cte}, … WHERE {checks}``.  Same hash text as the
+    Spark build by construction."""
     k = min(k, len(BLOOM_SALTS))
     pos_union = " UNION ALL ".join(
         f"SELECT ({portable_hash31_sql(dim_key, salt=BLOOM_SALTS[i])}) % {m_bits} AS p FROM ({dim_sql})"
