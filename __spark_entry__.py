@@ -1690,23 +1690,22 @@ def _q_sketch_quantile_prices(spark, sf_dir):
     deterministically ≤ one bin width."""
     _prep(spark, sf_dir)
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
 
-    from a5pg_spark.operators.sketches import histogram_quantiles
+    from a5pg_spark.operators.sketches import (
+        exact_quantile_via_histogram,
+        histogram_quantiles,
+    )
 
     v = spark.table("lineitem").select(
         F.col("l_returnflag"),
         F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
     )
     est = histogram_quantiles(v, "cents", ["l_returnflag"], bins=256)
-    w = Window.partitionBy("l_returnflag").orderBy("cents")
-    wn = Window.partitionBy("l_returnflag")
-    exact = (
-        v.withColumn("rn", F.row_number().over(w))
-        .withColumn("nn", F.count(F.lit(1)).over(wn))
-        .where(F.expr("rn = (nn + 1) DIV 2"))
-        .select("l_returnflag", F.col("cents").alias("exact_p50"))
-    )
+    # exact readout WITHOUT a full per-group sort: histogram-guided
+    # selection sorts only the median bin (~n/256 rows per group)
+    exact = exact_quantile_via_histogram(
+        v, "cents", ["l_returnflag"], num=1, den=2, bins=256
+    ).select("l_returnflag", F.col("q_exact").alias("exact_p50"))
     return (
         est.join(exact, "l_returnflag")
         .select("l_returnflag", "n", "est_p50", "est_p90", "est_p99", "exact_p50")

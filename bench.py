@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "events_pivot_daily",        # single-pass pivot / conditional agg (round 5)
     "rel_bloom_pruned_join",     # bloom-pruned fact scan before the join shuffle (round 5)
     "sketch_quantile_prices",    # bounded histogram quantiles + exact median (round 5)
+    "rel_bucketed_join",         # co-located zero-shuffle join (first run pays the write; steady run shows the payoff)
+    "a5_route_cells",            # trajectory -> distinct-cell rollup through the encode chain (round 5)
 ]
 
 

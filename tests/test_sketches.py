@@ -168,3 +168,32 @@ def test_histogram_state_bounded(spark):
     h = histogram_counts(df, "v", ["g"], bins=128)
     assert h.count() <= 128
     assert h.agg(F.sum("cnt")).collect()[0][0] == 50_000
+
+
+def test_exact_quantile_via_histogram_equals_full_sort(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from a5pg_spark.operators.sketches import exact_quantile_via_histogram
+
+    rng = np.random.default_rng(11)
+    rows = [("a", int(v)) for v in rng.integers(0, 1_000_000, 3_000)]
+    rows += [("b", int(v)) for v in rng.integers(-500, 500, 777)]
+    rows += [("c", 42)] * 5  # constant group: lo == hi degenerate domain
+    df = spark.createDataFrame(rows, "g string, v long")
+    for num, den in ((1, 2), (9, 10), (99, 100), (1, 1)):
+        got = {
+            r.g: r.q_exact
+            for r in exact_quantile_via_histogram(df, "v", ["g"], num, den).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v")
+        wn = Window.partitionBy("g")
+        want = {
+            r.g: r.v
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn("nn", F.count(F.lit(1)).over(wn))
+            .where(F.expr(f"rn = (nn * {num} + {den} - 1) DIV {den}"))
+            .collect()
+        }
+        assert got == want, (num, den, got, want)
