@@ -299,3 +299,21 @@ def test_winnow_fingerprint_stays_jvm_side(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     rows = df.limit(5).collect()
     assert all(r.n_fp > 0 for r in rows)
+
+
+def test_route_cells_single_data_shuffle(spark, sf_dir):
+    """The trajectory cell-path rollup must stay: one scan → Expand-style
+    sample fan-out (Generate over sequence) → encode → ONE data shuffle for
+    the per-route distinct+rollup (Spark plans distinct-agg as a two-phase
+    pair on the SAME key — count the distinct partitioning keys, not the
+    Exchange nodes) — no join, no second scan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["a5_route_cells"](spark, sf_dir)
+    plan = _physical(df)
+    assert len(re.findall(r"Scan parquet|FileScan", plan)) == 1
+    assert plan.count("Generate explode") == 1
+    assert "Join" not in plan
+    # all hash exchanges cluster on the (rid, cell)/(rid) rollup chain
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys <= {"rid", "cell"}, keys
