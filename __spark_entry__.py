@@ -1887,6 +1887,76 @@ FROM rc GROUP BY rid ORDER BY rid
 ORACLES_SQL["a5_route_cells"] = _route_cells_oracle_sql()
 
 
+def _q_sample_documents(spark, sf_dir):
+    """Deterministic portable sampling (operators/sampling.py): a ~25%
+    hash-Bernoulli sample by doc_id (membership is a pure function of the
+    key — retry-stable, cross-table-consistent, zero shuffles) plus a
+    uniform 5-per-language sample via smallest-key-hash ranking (ONE window
+    shuffle; a per-group `ORDER BY rand() LIMIT k` would be retry-broken).
+    Both samples replay bit-for-bit in DuckDB through the shared
+    portable_hash31 chain, so the oracle checks the exact membership (id
+    checksums), not just sizes."""
+    _prep(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    from a5pg_spark.operators.sampling import group_sample_k, hash_sample
+
+    docs = spark.table("documents")
+    bern = hash_sample(docs, "doc_id", 0.25)
+    b = bern.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bern"), F.sum("doc_id").alias("bern_id_sum")
+    )
+    topk = group_sample_k(docs, ["lang"], "doc_id", 5)
+    t = topk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_topk"), F.sum("doc_id").alias("topk_id_sum")
+    )
+    return (
+        t.join(b, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_bern", F.lit(0)).alias("n_bern"),
+            F.coalesce("bern_id_sum", F.lit(0)).alias("bern_id_sum"),
+            "n_topk",
+            "topk_id_sum",
+        )
+        .orderBy("lang")
+    )
+
+
+def _sample_documents_oracle_sql() -> str:
+    from a5pg_spark.operators.sampling import hash_sample_sql
+    from a5pg_spark.operators.sketches import portable_hash31_sql
+
+    return f"""
+WITH bern AS (
+  SELECT lang, doc_id FROM documents WHERE {hash_sample_sql("doc_id", 0.25)}
+),
+b AS (
+  SELECT lang, COUNT(*) AS n_bern, CAST(SUM(doc_id) AS BIGINT) AS bern_id_sum
+  FROM bern GROUP BY 1
+),
+ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ({portable_hash31_sql("doc_id")}) ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+),
+t AS (
+  SELECT lang, COUNT(*) AS n_topk, CAST(SUM(doc_id) AS BIGINT) AS topk_id_sum
+  FROM ranked WHERE rk <= 5 GROUP BY 1
+)
+SELECT t.lang, coalesce(b.n_bern, 0) AS n_bern,
+       coalesce(b.bern_id_sum, 0) AS bern_id_sum,
+       t.n_topk, t.topk_id_sum
+FROM t LEFT JOIN b ON t.lang = b.lang ORDER BY t.lang
+"""
+
+
+ORACLES_SQL["sample_documents"] = _sample_documents_oracle_sql()
+
+
 def _q_events_range_join(spark, sf_dir):
     """Bucketized range join (operators/intervals.py): events against 4096
     deterministic overlapping 90-min maintenance windows (one every hour
@@ -3121,6 +3191,7 @@ _OPERATOR_QUERIES = {
     "sketch_quantile_prices": _q_sketch_quantile_prices,
     "rel_bucketed_join": _q_rel_bucketed_join,
     "a5_route_cells": _q_route_cells,
+    "sample_documents": _q_sample_documents,
     "events_range_join": _q_events_range_join,
     "embed_ann_srp": _q_embed_ann_srp,
     "embed_ann_ivf": _q_embed_ann_ivf,
