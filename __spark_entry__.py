@@ -117,6 +117,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def _q(sql_spark: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark, sf_dir)
+        # __RP__ = session core count for REPARTITION hints (scale-adaptive:
+        # local[N] and a cluster both resolve to their real parallelism; an
+        # explicit count so AQE's byte-based coalescing can't undo it on
+        # compute-heavy-but-slim rows — see plans/partitioning.fan_out_scan)
+        if "__RP__" in sql_spark:
+            return spark.sql(sql_spark.replace(
+                "__RP__", str(spark.sparkContext.defaultParallelism)))
         return spark.sql(sql_spark)
 
     return run
@@ -247,12 +254,22 @@ _PYR_PARENTS = ", ".join(
     f"a5_cell_to_parent(c9, {r}) AS p{r}" for r in range(4, 9)
 )
 _PYR_SETS = ", ".join(f"(p{r})" for r in range(9, 3, -1))
+# r06: aggregate to the finest level (c9) BEFORE the GROUPING SETS Expand —
+# children/parents are functions of c9, so cube-ing pre-counted res-9 cells
+# is algebraically identical to cube-ing raw rows (counts re-add; the digest
+# is an exact integer sum), but the 6x Expand amplification now applies to
+# |distinct c9| (~1.8M at sf1.0) instead of |lineitem| (6M), and the first
+# shuffle carries pre-combined (c9, n) partials.  Same #exchanges-per-level
+# guarantees (tests/test_plan_health.py still pins ONE scan / ONE Expand /
+# ONE p9-keyed exchange); measured 2.37 -> 0.95 s at sf1.0, hash-equal.
 QUERIES_SQL["a5_tile_pyramid"] = f"""
     WITH pts AS (SELECT a5_synth_cell(l_orderkey * 8 + l_linenumber, 9) AS c9
                  FROM lineitem),
-    lv AS (SELECT c9 AS p9, {_PYR_PARENTS} FROM pts),
+    agg9 AS (SELECT c9, COUNT(*) AS n0 FROM pts GROUP BY c9),
+    lv AS (SELECT c9 AS p9, {_PYR_PARENTS}, n0 FROM agg9),
     g AS (
-      SELECT coalesce(p9, p8, p7, p6, p5, p4) AS cell, COUNT(*) AS n
+      SELECT coalesce(p9, p8, p7, p6, p5, p4) AS cell,
+             CAST(SUM(n0) AS BIGINT) AS n
       FROM lv GROUP BY GROUPING SETS ({_PYR_SETS})
     )
     SELECT a5_get_resolution(cell) AS res, COUNT(*) AS n_cells,
@@ -487,7 +504,28 @@ QUERIES_SQL["rel_agg_pricing"] = """
 """
 ORACLES_SQL["rel_agg_pricing"] = QUERIES_SQL["rel_agg_pricing"]
 
+# r06: pre-aggregate orders by o_custkey BEFORE the join (guide §2.3
+# "aggregate before you shuffle").  custkey -> mktsegment is functional, so
+# COUNT(DISTINCT o_custkey) per segment == COUNT(*) of custkey groups with
+# >= 1 order, SUM/COUNT distribute over the custkey partials, and the DECIMAL
+# partial sums re-add exactly (decimal addition is associative) — the rewrite
+# is algebraically identical to the oracle's plain join+distinct-agg, and it
+# replaces Spark's two-phase distinct-aggregate expansion of 1.5M join rows
+# with one 150k-group rollup feeding a broadcast join (measured 2.7 -> 1.6 s
+# at sf1.0; hash-equal vs the unchanged oracle).
 QUERIES_SQL["rel_join_segment_revenue"] = """
+    WITH o AS (SELECT o_custkey,
+                      SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS tp,
+                      COUNT(*) AS n
+               FROM orders GROUP BY o_custkey)
+    SELECT c_mktsegment,
+           ROUND(CAST(SUM(tp) AS DOUBLE), 4) AS revenue,
+           CAST(SUM(n) AS BIGINT) AS n_orders,
+           COUNT(*) AS n_customers
+    FROM o JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+ORACLES_SQL["rel_join_segment_revenue"] = """
     SELECT c_mktsegment,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
            COUNT(*) AS n_orders,
@@ -495,7 +533,6 @@ QUERIES_SQL["rel_join_segment_revenue"] = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
-ORACLES_SQL["rel_join_segment_revenue"] = QUERIES_SQL["rel_join_segment_revenue"]
 
 QUERIES_SQL["rel_window_user_topk"] = """
     SELECT event_type, COUNT(*) AS n, ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
@@ -565,15 +602,27 @@ ORACLES_SQL["text_annotate_agg"] = r"""
     FROM q GROUP BY source ORDER BY source
 """
 
+# r06: hoist the two norm folds out of the |q| x |corpus| pair loop — each
+# vector's norm is computed ONCE per row instead of once per pair (the folds
+# are interpreted HOFs, so this cuts 2/3 of the per-pair expression work
+# without changing a single IEEE operation: the same sequential left-fold
+# runs per vector, just earlier).  The corpus side also fans out to the
+# session cores (__RP__ — the 1-row-group scan otherwise runs every 64-dim
+# fold on one core; see plans/partitioning.fan_out_scan).  cos_sim values
+# are bit-identical (measured hash-equal at sf0.01 and sf1.0).
 QUERIES_SQL["embed_knn_bruteforce"] = """
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe,
+                      SQRT(aggregate(transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS qn
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT /*+ REPARTITION(__RP__) */ vec_id, embedding,
+                 SQRT(aggregate(transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS cn
+          FROM embeddings),
     scored AS (
       SELECT qid, vec_id,
              ROUND(aggregate(zip_with(qe, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
                              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-                   / (SQRT(aggregate(transform(qe, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-                      * SQRT(aggregate(transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))), 4) AS cos_sim
-      FROM q CROSS JOIN embeddings
+                   / (qn * cn), 4) AS cos_sim
+      FROM q CROSS JOIN c
       WHERE vec_id != qid
     )
     SELECT qid, vec_id, cos_sim
@@ -1036,9 +1085,14 @@ def _q_spatial_join_elephant(spark, sf_dir):
         else:
             g["coordinates"] = [g["coordinates"][0] * 30, g["coordinates"][1] * 30]
     polys = P.from_feature_collection(spark, fc)
-    pts = spark.sql(f"""
+    from a5pg_spark.plans.partitioning import fan_out_scan
+
+    # r06: fan the slim point rows out to all cores before the 25-projection
+    # encode + join chain — the 2-row-group orders scan ran the whole probe
+    # stage on one task (median 23 ms, max 4.3 s; guide §2.5 input skew).
+    pts = fan_out_scan(spark.sql(f"""
         SELECT o_orderkey AS pid, {_PT_SPARK.format(k="o_orderkey")} FROM orders
-    """)
+    """))
     out = spatial_join(pts, polys, res=6)
     return out.groupBy("part").agg(F.count("*").alias("n_points")).orderBy("part")
 
@@ -1466,15 +1520,27 @@ def _q_events_sessionize(spark, sf_dir):
 
     from a5pg_spark.operators.sessions import session_stats
 
+    # r06: establish the terminal output order's partitioning FIRST (guide
+    # §2.4 "two operations keyed the same way can share one exchange"):
+    # range-partition the input by user_id, which satisfies the windows' and
+    # rollup's ClusteredDistribution just like hash partitioning did, and
+    # turns the final global sort into a partition-local sortWithinPartitions
+    # — the old terminal Exchange rangepartitioning(954k agg rows) and its
+    # boundary-sampling job disappear.  Row order and every value are
+    # unchanged (equal user_ids never straddle range-partition boundaries;
+    # per-group fold order is still the total (ts, event_id) window sort).
+    ev = spark.table("events").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     out = session_stats(
-        spark.table("events"),
+        ev,
         key_col="user_id",
         ts_col="ts",
         gap_seconds=1800,
         value_col="value",
         tiebreak_col="event_id",
     )
-    return out.orderBy("user_id", "session_no")
+    return out.sortWithinPartitions("user_id", "session_no")
 
 
 ORACLES_SQL["events_sessionize"] = """
@@ -1778,47 +1844,45 @@ def _q_rel_bucketed_join(spark, sf_dir):
     _prep(spark, sf_dir)
     key = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
     root = os.path.abspath(f"spark-warehouse/bucketed_{key}")
-    saved = {
-        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
-            "spark.sql.autoBroadcastJoinThreshold"
-        ),
-        "spark.sql.legacy.bucketedTableScan.outputOrdering": spark.conf.get(
-            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
-        ),
-    }
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # r06 (round-5 ADVICE): the previous shape collected `out` inside a
+    # scoped-conf try block and restored the confs before returning, so the
+    # harness's own collect re-planned AND re-executed the whole join under
+    # the restored confs — every bench invocation ran the query twice, and
+    # the measured plan was not the bucketed one.  Now the query executes
+    # exactly once, by the caller.  The scan-ordering flag (which only
+    # affects bucketed-table scans — there are none elsewhere in this
+    # engine) stays set on the session so the caller's plan is the
+    # Exchange-free, Sort-free co-located join; the broadcast threshold is
+    # left at the session default, which simply means a tiny-SF driver run
+    # may pick a (equally correct, faster) broadcast join while sf >= 0.1
+    # planning exceeds the 10 MB threshold and exercises the zero-shuffle
+    # bucketed path that tests/test_bucketing.py pins.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    try:
-        lt, rt = f"li_bkt_{key}", f"od_bkt_{key}"
-        if not spark.catalog.tableExists(lt):
-            write_bucketed(
-                spark.table("lineitem"), lt, "l_orderkey", 8, f"{root}/lineitem"
-            )
-        if not spark.catalog.tableExists(rt):
-            write_bucketed(
-                spark.table("orders"), rt, "o_orderkey", 8, f"{root}/orders"
-            )
-        j = bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
-        out = (
-            j.groupBy("o_orderpriority")
-            .agg(
-                F.count(F.lit(1)).alias("n_lines"),
-                F.count_distinct("o_orderkey").alias("n_orders"),
-                F.round(
-                    F.sum(
-                        F.col("l_extendedprice").cast("decimal(18,4)")
-                        * (1 - F.col("l_discount")).cast("decimal(18,6)")
-                    ).cast("double"),
-                    4,
-                ).alias("revenue"),
-            )
-            .orderBy("o_orderpriority")
+    lt, rt = f"li_bkt_{key}", f"od_bkt_{key}"
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            spark.table("lineitem"), lt, "l_orderkey", 8, f"{root}/lineitem"
         )
-        out.collect()  # materialize under the scoped confs
-        return out
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+    if not spark.catalog.tableExists(rt):
+        write_bucketed(
+            spark.table("orders"), rt, "o_orderkey", 8, f"{root}/orders"
+        )
+    j = bucketed_join(spark, lt, rt, "l_orderkey", "o_orderkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 ORACLES_SQL["rel_bucketed_join"] = """
@@ -1858,8 +1922,12 @@ def _q_route_cells(spark, sf_dir):
     bit-for-bit."""
     _prep(spark, sf_dir)
     from a5pg_spark.operators.trajectories import route_cell_stats
+    from a5pg_spark.plans.partitioning import fan_out_scan
 
-    seg = spark.sql(_SEG_SQL)
+    # r06: fan the 5-column segment rows out to all cores BEFORE the 33x
+    # sample fan-out + encode (the 1-row-group customer scan put the whole
+    # 4.95M-point encode on one task; measured 3.8 -> 1.6 s noop at sf1.0)
+    seg = fan_out_scan(spark.sql(_SEG_SQL))
     return route_cell_stats(
         seg, "rid", "lon1", "lat1", "lon2", "lat2", res=7, samples=32
     ).orderBy("rid")
@@ -2022,8 +2090,15 @@ def _q_events_session_window(spark, sf_dir):
 
     from a5pg_spark.operators.sessions import epoch_us
 
+    # r06: same one-exchange layout trick as events_sessionize — range
+    # partition by user_id up front so the session-window state operator's
+    # required clustering AND the terminal (user_id, start_us) order are both
+    # served by ONE exchange; the final sort becomes partition-local.
+    ev = spark.table("events").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "user_id"
+    )
     out = (
-        spark.table("events")
+        ev
         .groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -2036,7 +2111,7 @@ def _q_events_session_window(spark, sf_dir):
             "sum_value",
         )
     )
-    return out.orderBy("user_id", "start_us")
+    return out.sortWithinPartitions("user_id", "start_us")
 
 
 ORACLES_SQL["events_session_window"] = """

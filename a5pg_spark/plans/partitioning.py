@@ -22,6 +22,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan-rooted frame to the session's full
+    parallelism when the scan itself cannot provide it (guide §2.5 "input
+    skew — repartition immediately after the read").
+
+    Parquet scan parallelism is bounded by ROW GROUPS, not bytes: a file
+    written as one row group yields ONE task no matter how small
+    ``spark.sql.files.maxPartitionBytes`` is set.  The bench corpus is
+    written with 1–6 row groups per table, so every CPU-heavy map chain
+    rooted at a scan (the 25-projection native encode, PIP refinement,
+    64-dim similarity folds) ran on ≤6 of the 32 cores — measured on the
+    elephant spatial join: probe-stage task median 23 ms, max 4.3 s (one
+    task did everything).  The fix is one cheap shuffle of the SLIM scan
+    output (project first!) that unlocks cores for the expensive chain
+    above it.
+
+    Scale-adaptive by construction: ``target`` defaults to
+    ``sparkContext.defaultParallelism`` (i.e. the cluster's core count —
+    local[N] and a real cluster both resolve correctly), and the repartition
+    is SKIPPED when the frame already has at least that many partitions —
+    at 100 TB the scan has thousands of row groups and this is a no-op, so
+    the extra Exchange only ever exists where the input layout starves the
+    CPUs.  An explicit partition count is used (not a bare ``repartition()``)
+    so AQE's advisory-size coalescing cannot re-merge the partitions: these
+    rows are compute-heavy, not byte-heavy, and 64 MB/partition heuristics
+    judge them wrongly.
+    """
+    sc = df.sparkSession.sparkContext
+    n = int(target) if target else sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def salted_repartition_by_prefix(
     df: DataFrame,
     cell_col: str = "cell",

@@ -108,14 +108,21 @@ def test_sessionize_and_asof_cost_one_exchange(spark, sf_dir):
     import __spark_entry__ as E
 
     qs = E.queries()
-    # sessionize: ONE hash Exchange feeds window + rollup (partial/final agg
-    # reuse the user_id partitioning).  asof: ONE for the union-marker window
-    # plus one for the right-side (errors-only, small) pre-dedup groupBy —
-    # the operator itself still costs a single shuffle of the union.
-    for name, want in (("events_sessionize", 1), ("events_asof_join", 2)):
+    # sessionize (r06): ONE Exchange TOTAL — the up-front range partitioning
+    # on user_id serves the windows' clustering, the rollup, AND the terminal
+    # output order (the old shape paid a hash exchange for the windows plus a
+    # range exchange + sampling job for the final sort).  asof: ONE hash
+    # exchange for the union-marker window plus one for the right-side
+    # (errors-only, small) pre-dedup groupBy — the operator itself still
+    # costs a single shuffle of the union.
+    for name, want in (("events_sessionize", 1), ("events_asof_join", 3)):
         df = qs[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "MapInPandas" not in plan, (name, plan)
-        n = plan.count("Exchange") - plan.count("Exchange rangepartitioning")
-        assert n == want, (name, plan)
+        assert plan.count("Exchange") == want, (name, plan)
         assert df.limit(3).count() > 0
+    # the sessionize exchange is the range one; no hash exchange remains
+    plan = qs["events_sessionize"](spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
