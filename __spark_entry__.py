@@ -1761,11 +1761,15 @@ def _q_sketch_quantile_prices(spark, sf_dir):
         exact_quantile_via_histogram,
         histogram_quantiles,
     )
+    from a5pg_spark.plans.partitioning import fan_out_scan
 
-    v = spark.table("lineitem").select(
+    # r06: fan the slim (flag, cents) rows out to all cores — the 6-row-group
+    # lineitem scan capped the two binning passes at 6 tasks (2.76 -> 2.31 s
+    # at sf1.0, interleaved A/B)
+    v = fan_out_scan(spark.table("lineitem").select(
         F.col("l_returnflag"),
         F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-    )
+    ))
     est = histogram_quantiles(v, "cents", ["l_returnflag"], bins=256)
     # exact readout WITHOUT a full per-group sort: histogram-guided
     # selection sorts only the median bin (~n/256 rows per group)
@@ -1896,7 +1900,12 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 # deterministic synthetic route segments: endpoint A from the key, endpoint
 # B = A + a small (±1°, ±0.4°) key-derived delta — identical text in both
-# engines, so the lerped sample points agree bit-for-bit
+# engines, so the lerped sample points agree bit-for-bit.
+# SF bound (r05 ADVICE): c_custkey * 987654321986 overflows int64 at
+# custkey >= ~9.3e6 (TPC-H SF >= ~62) — Spark (ANSI off) wraps silently
+# where DuckDB raises, so the oracle pair is only valid below that scale;
+# the driver's scale factors (<= ~10) stay well clear.  The expression text
+# is frozen with the oracle, so the bound is documented rather than fixed.
 _SEG_BASE = """
   SELECT c_custkey AS rid,
          ((c_custkey * 2654435761) % 358000000) / 1e6 - 179.0 AS lon1,
@@ -3275,9 +3284,34 @@ _OPERATOR_QUERIES = {
 }
 
 
+# r06 (round-5 VERDICT #1): the driver's correctness gate checks the FIRST
+# 50 queries in iteration order, and rounds 4/5 exposed 59 — so the last 9
+# dict entries never earned a CORRECTNESS row (5 of them have NEVER been
+# driver-checked).  Order the dict explicitly: never/not-checked queries
+# first so every operator family lands inside the 50-row window; the 9 that
+# rotate out are constant-output or multiply-verified SQL queries (green in
+# r04 AND r05, untouched since) whose oracles are pure bit arithmetic.
+_CHECK_FIRST = [
+    "a5_route_cells", "sample_documents", "rel_bucketed_join",
+    "sketch_quantile_prices", "events_range_join", "embed_ann_srp",
+    "embed_ann_ivf", "dedup_embedding_pairs", "images_tiling_mosaic",
+]
+_CHECK_LAST = [
+    "a5_num_cells_area", "a5_res0_cells", "a5_uncompact_cover",
+    "a5_compact_roundtrip", "a5_roundtrip_quality", "a5_resolution_histogram",
+    "dedup_exact_docs", "text_lang_stats", "skew_salted_join",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: _q(sql) for name, sql in QUERIES_SQL.items()}
-    out.update(_OPERATOR_QUERIES)
+    every = {name: _q(sql) for name, sql in QUERIES_SQL.items()}
+    every.update(_OPERATOR_QUERIES)
+    out = {name: every.pop(name) for name in _CHECK_FIRST}
+    for name in _CHECK_LAST:
+        every.pop(name)
+    out.update(every)
+    out.update({name: _q(QUERIES_SQL[name]) if name in QUERIES_SQL
+                else _OPERATOR_QUERIES[name] for name in _CHECK_LAST})
     return out
 
 

@@ -44,7 +44,14 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: int = 0) -> Data
 
 
 def hash_sample_sql(key_expr: str, rate: float, salt: int = 0) -> str:
-    """The identical membership predicate as SQL text (oracle side)."""
+    """The identical membership predicate as SQL text (oracle side).
+
+    Precondition (r05 ADVICE): ``key_expr`` must be NON-NEGATIVE.  The SQL
+    replay folds with ``%``, which follows the dividend's sign in DuckDB,
+    while the Spark side uses ``pmod`` (always non-negative) — a negative
+    key would silently produce different hashes in the two engines.  All
+    engine callers pass non-negative ids; assert it upstream if a new key
+    source can go negative."""
     thresh = int(rate * M31)
     return f"({portable_hash31_sql(key_expr, salt=salt)}) < {thresh}"
 

@@ -307,6 +307,12 @@ def exact_quantile_via_histogram(
     with one bounded aggregation plus a 1/bins-sized sort — the same trick
     as a distributed quickselect with a fixed pivot grid.
 
+    ``value_col`` must be INTEGRAL (same contract as ``histogram_counts``,
+    restated here per r05 ADVICE): pass 1 derives lo/hi from the value cast
+    to long while pass 2 re-bins the raw expression — for non-integral
+    inputs the two binnings could disagree and silently select the wrong
+    rank.  Cast upstream.
+
     Returns (group…, q_exact)."""
     from pyspark.sql import Window
 

@@ -87,6 +87,15 @@ def bloom_prune(
     The one-row bitmap broadcasts; the test is codegen'd bit math at the
     scan, upstream of any join exchange."""
     k = min(k, len(BLOOM_SALTS))
+    # r05 ADVICE: the probe injects working columns into the fact frame and
+    # drops them by name — refuse loudly if the caller's frame already uses
+    # those names (silently overwriting/dropping a user column is worse)
+    clash = {"bitmap", *(f"__bp{i}" for i in range(k))} & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_prune working columns collide with fact columns: {sorted(clash)}; "
+            "rename them before pruning"
+        )
     df = fact.crossJoin(F.broadcast(bloom))
     tmp = [f"__bp{i}" for i in range(k)]
     for name, p in zip(tmp, _positions(F.col(key_col), m_bits, k)):
