@@ -608,8 +608,10 @@ ORACLES_SQL["text_annotate_agg"] = r"""
 # without changing a single IEEE operation: the same sequential left-fold
 # runs per vector, just earlier).  The corpus side also fans out to the
 # session cores (__RP__ — the 1-row-group scan otherwise runs every 64-dim
-# fold on one core; see plans/partitioning.fan_out_scan).  cos_sim values
-# are bit-identical (measured hash-equal at sf0.01 and sf1.0).
+# fold on one core; see plans/partitioning.fan_out_scan); the hint is
+# STRIPPED for small inputs by _q_embed_knn below, same size gate as
+# fan_out_scan.  cos_sim values are bit-identical (measured hash-equal at
+# sf0.01 and sf1.0).
 QUERIES_SQL["embed_knn_bruteforce"] = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe,
                       SQRT(aggregate(transform(embedding, a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) AS qn
@@ -650,6 +652,26 @@ def oracle_sql() -> dict[str, str]:
     return dict(ORACLES_SQL)
 
 # -- operator-backed queries (DataFrame programs, not single SQL) ------------
+
+
+def _q_embed_knn(spark, sf_dir):
+    """embed_knn_bruteforce with the corpus fan-out applied only when the
+    embeddings input is big enough to amortize the exchange (same 3 MB gate
+    as plans/partitioning.fan_out_scan; the SQL text is otherwise exactly
+    QUERIES_SQL['embed_knn_bruteforce'])."""
+    import os as _os
+
+    _prep(spark, sf_dir)
+    sql = QUERIES_SQL["embed_knn_bruteforce"]
+    try:
+        big = _os.path.getsize(f"{sf_dir}/embeddings.parquet") >= 3 * 1024 * 1024
+    except OSError:
+        big = True
+    if big:
+        sql = sql.replace("__RP__", str(spark.sparkContext.defaultParallelism))
+    else:
+        sql = sql.replace("/*+ REPARTITION(__RP__) */", "")
+    return spark.sql(sql)
 
 def _q_snapshot_pruned_scan(spark, sf_dir):
     """Iceberg-style snapshot table: orders' synthetic cells written as a
@@ -1765,11 +1787,13 @@ def _q_sketch_quantile_prices(spark, sf_dir):
 
     # r06: fan the slim (flag, cents) rows out to all cores — the 6-row-group
     # lineitem scan capped the two binning passes at 6 tasks (2.76 -> 2.31 s
-    # at sf1.0, interleaved A/B)
+    # at sf1.0, interleaved A/B).  Binning is LIGHT per-row work, so the
+    # threshold is high: below 32 MB of input the exchange costs more than
+    # it frees (measured +1 s at sf0.1).
     v = fan_out_scan(spark.table("lineitem").select(
         F.col("l_returnflag"),
         F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-    ))
+    ), min_input_bytes=32 * 1024 * 1024)
     est = histogram_quantiles(v, "cents", ["l_returnflag"], bins=256)
     # exact readout WITHOUT a full per-group sort: histogram-guided
     # selection sorts only the median bin (~n/256 rows per group)
@@ -3240,6 +3264,7 @@ ORACLES_SQL["images_knn_capture"] = _images_knn_oracle_sql()
 
 
 _OPERATOR_QUERIES = {
+    "embed_knn_bruteforce": _q_embed_knn,
     "images_phash_neardup": _q_images_phash_neardup,
     "images_knn_capture": _q_images_knn,
     "a5_compact_roundtrip": _q_compact_roundtrip,
