@@ -1783,17 +1783,17 @@ def _q_sketch_quantile_prices(spark, sf_dir):
         exact_quantile_via_histogram,
         histogram_quantiles,
     )
-    from a5pg_spark.plans.partitioning import fan_out_scan
 
-    # r06: fan the slim (flag, cents) rows out to all cores — the 6-row-group
-    # lineitem scan capped the two binning passes at 6 tasks (2.76 -> 2.31 s
-    # at sf1.0, interleaved A/B).  Binning is LIGHT per-row work, so the
-    # threshold is high: below 32 MB of input the exchange costs more than
-    # it frees (measured +1 s at sf0.1).
-    v = fan_out_scan(spark.table("lineitem").select(
+    # r06 note: a fan-out of the slim (flag, cents) projection measured
+    # FASTER in one capped-window A/B (2.76 -> 2.31 s) but SLOWER in clean
+    # quiet-window suite runs (2.21 plain vs 2.71 fanned at sf1.0, and +1 s
+    # at sf0.1) — binning is a few ns/row, so the extra exchange only pays
+    # when the host is compute-throttled.  Optimize for the quiet case:
+    # no fan-out; the 6-task scan parallelism carries the binning passes.
+    v = spark.table("lineitem").select(
         F.col("l_returnflag"),
         F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
-    ), min_input_bytes=32 * 1024 * 1024)
+    )
     est = histogram_quantiles(v, "cents", ["l_returnflag"], bins=256)
     # exact readout WITHOUT a full per-group sort: histogram-guided
     # selection sorts only the median bin (~n/256 rows per group)
@@ -1959,8 +1959,11 @@ def _q_route_cells(spark, sf_dir):
 
     # r06: fan the 5-column segment rows out to all cores BEFORE the 33x
     # sample fan-out + encode (the 1-row-group customer scan put the whole
-    # 4.95M-point encode on one task; measured 3.8 -> 1.6 s noop at sf1.0)
-    seg = fan_out_scan(spark.sql(_SEG_SQL))
+    # 4.95M-point encode on one task; measured 3.8 -> 1.6 s noop at sf1.0).
+    # Threshold 1 MB, not the 3 MB default: each input row explodes into 33
+    # encodes, so the per-byte compute weight is ~30x a plain scan's (the
+    # sf1.0 customer file is 2.9 MB and must fan; sf0.1's 0.3 MB must not).
+    seg = fan_out_scan(spark.sql(_SEG_SQL), min_input_bytes=1024 * 1024)
     return route_cell_stats(
         seg, "rid", "lon1", "lat1", "lon2", "lat2", res=7, samples=32
     ).orderBy("rid")
