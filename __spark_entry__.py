@@ -3169,7 +3169,10 @@ def _q_images_phash_neardup(spark, sf_dir):
 
     from a5pg_spark.operators.dedup import phash_near_dup_pairs
 
-    df = spark.createDataFrame(_phash_fixture(), "image_id string, phash long")
+    # one slice (r06): 256 driver rows -> one parallelize task, not 32
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(_phash_fixture(), 1),
+        "image_id string, phash long")
     out = phash_near_dup_pairs(df, id_col="image_id", phash_col="phash",
                                max_hamming=3)
     return out.orderBy("id_a", "id_b")

@@ -409,8 +409,15 @@ def spatial_join(
                 for p, c, i in cover_pd[["part", "cell", "interior"]]
                 .itertuples(index=False)
             ]
-            cover_slim = F.broadcast(spark.createDataFrame(data, COVER_SCHEMA))
-            edges_df = F.broadcast(spark.createDataFrame(edge_rows, edges_schema))
+            # r06: pin the local-data parallelize to ONE slice each —
+            # createDataFrame defaults to defaultParallelism slices, i.e.
+            # 2x32 near-empty tasks per broadcast build (~140 ms of task
+            # overhead each, 0.8 s wall per query just to re-upload a few
+            # thousand driver-resident rows)
+            cover_slim = F.broadcast(spark.createDataFrame(
+                spark.sparkContext.parallelize(data, 1), COVER_SCHEMA))
+            edges_df = F.broadcast(spark.createDataFrame(
+                spark.sparkContext.parallelize(edge_rows, 1), edges_schema))
             cover_full = (cover_slim, edges_df)
             if len(_COVER_DF_CACHE) >= _COVER_CACHE_MAX:
                 _COVER_DF_CACHE.pop(next(iter(_COVER_DF_CACHE)))

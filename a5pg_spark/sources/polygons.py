@@ -8,7 +8,6 @@ from __future__ import annotations
 import json
 import re
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,8 +36,10 @@ def from_feature_collection(spark: SparkSession, fc: dict,
         (f["properties"][part_prop], json.dumps(f["geometry"]))
         for f in fc["features"]
     ]
+    # one slice: a handful of driver rows must not fan into
+    # defaultParallelism near-empty parallelize tasks on every collect
     return spark.createDataFrame(
-        pd.DataFrame(rows, columns=["part", "geom_json"])
+        spark.sparkContext.parallelize(rows, 1), "part string, geom_json string"
     )
 
 
